@@ -1,13 +1,410 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+import graft.sources.CrawlCorpus
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator surface (one entry per implemented operator
+  * from SURVEY.md §2 plus the training-data-pipeline operators);
+  * `oracleSql` carries the DuckDB-equivalent ANSI SQL for every
+  * SQL-expressible query (same column names, same ORDER BY, aggregates cast
+  * to DECIMAL so float summation order can never flip a hash). Queries with
+  * no entry in `oracleSql` are non-SQL-expressible kernels (extraction,
+  * xxhash64-based sketches) and get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    c.cast(s"decimal(18,$scale)")
+
+  /** Documents table with injected duplicates (first 20 docs copied to
+    * doc_id+100000) so the dedup operators always have true positives —
+    * fully deterministic. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.unionByName(
+      e.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the extraction
+    * pipeline end-to-end over the synthesized crawl corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = CrawlCorpus.crawl(spark, nDocs = 72, seed = 42L)
+    ExtractPipeline.extractDocs(corpus)
+      .toDF()
+      .select(col("url"), col("kind"), col("ok"), md5(col("contents")).as("contents_md5"),
+        length(col("contents")).as("n_bytes"), col("n_objects"), col("n_errors"))
+      .orderBy(col("url"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (oracle-checked) ----
+    "q01_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") < 5 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q02_agg_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_price"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 4))), 4).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q03_join_broadcast" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double").as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q04_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("top_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q05_topk_sort" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    "q06_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))),
+
+    "q07_semi_join" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))),
+
+    "q08_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q09_setop_except" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+        .except(t(s, dir, "customer").where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey")).distinct())
+        .orderBy(col("custkey"))),
+
+    "q10_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    "q11_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(dec(col("value"), 4)), 4).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "q12_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- training-data pipeline: dedup family ----
+    "q13_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docsWithDups(s, dir), "doc_id", "text")
+        .orderBy(col("text_md5"))),
+
+    "q14_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("detected_lang"))
+        .groupBy(col("detected_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("detected_lang"))),
+
+    "q15_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((col("source") +: TextAnalysis.qualityColumns(col("text"))): _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("quality_score_i4")).as("sum_quality_i4"))
+        .orderBy(col("source"))),
+
+    "q16_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("token_count"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_estimate"))
+        .orderBy(col("doc_id"))),
+
+    // ---- sketch-based dedup (xxhash64: rows-only check) ----
+    "q17_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsWithDups(s, dir), "doc_id", "text", minJaccard = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q18_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q19_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text", minJaccard = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q20_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(embWithDups(s, dir), "vec_id", "embedding", minCos = 0.9999)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search ----
+    "q21_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q22_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nBits = 4)
+        .select(col("query_id"), col("id"), col("rank"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q23_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // ---- extraction pipeline over the synthesized crawl corpus ----
+    "q24_extract_docs" -> ((s, dir) =>
+      ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 200, 42L)).toDF()
+        .select(col("url"), col("kind"), col("ok"),
+          md5(col("contents")).as("contents_md5"),
+          length(col("contents")).as("n_bytes"),
+          col("raw_md5"), col("n_objects"), col("n_streams"), col("n_errors"))
+        .orderBy(col("url"))),
+
+    "q25_extract_errors" -> ((s, dir) =>
+      ExtractPipeline.errorProfile(
+        ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 200, 42L)))),
+
+    "q26_extract_metrics" -> ((s, dir) => {
+      val corpus = ExtractPipeline.saltedRepartitionByUrl(
+        CrawlCorpus.crawl(s, 200, 42L), numPartitions = 8)
+      ExtractPipeline.partitionMetrics(ExtractPipeline.extractDocs(corpus))
+        .orderBy(col("partition_id"))
+    }),
+
+    "q27_resume_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CrawlCorpus.crawl(s, 200, 42L)
+      val committed = corpus.filter(_.url.hashCode % 2 == 0).map(_.url).toDF("url")
+      corpus.toDF().join(committed, Seq("url"), "left_anti")
+        .select(col("url")).orderBy(col("url"))
+    }),
+
+    // ---- multimodal plumbing (decode stubbed, plumbing real) ----
+    "q28_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.synthMedia(s, 100, 42L)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("content_hash"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))),
+
+    "q29_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.extractFeatures(Multimodal.synthMedia(s, 50, 42L)))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    "q30_html_extract" -> ((s, dir) =>
+      ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 101, 42L)).toDF()
+        .where(col("kind") === "html")
+        .select(col("url"), md5(col("contents")).as("text_md5"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("url")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_quantity AS qty,
+         l_extendedprice AS price
+         FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q04_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice AS top_price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q05_topk_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+         FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q06_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q07_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q09_setop_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+         ORDER BY custkey""",
+
+    "q10_explode_tokens" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "q11_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q12_sessionize" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM (SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q13_dedup_exact" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20)
+         SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM docs GROUP BY md5(text) ORDER BY text_md5""",
+
+    "q14_langid" ->
+      """WITH scored AS (
+           SELECT
+             (CASE WHEN concat(' ', lower(text), ' ') LIKE '% the %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% and %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% of %' THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN concat(' ', lower(text), ' ') LIKE '% der %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% und %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% die %' THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN concat(' ', lower(text), ' ') LIKE '% el %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% que %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% los %' THEN 1 ELSE 0 END) AS s_es,
+             (CASE WHEN concat(' ', lower(text), ' ') LIKE '% le %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% et %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr,
+             (CASE WHEN concat(' ', lower(text), ' ') LIKE '% и %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% не %' THEN 1 ELSE 0 END +
+              CASE WHEN concat(' ', lower(text), ' ') LIKE '% что %' THEN 1 ELSE 0 END) AS s_ru
+           FROM documents)
+         SELECT CASE
+             WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'de'
+             WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'es'
+             WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'fr'
+             WHEN s_ru = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'ru'
+             ELSE 'und' END AS detected_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM scored GROUP BY 1 ORDER BY detected_lang""",
+
+    "q15_quality" ->
+      """WITH q AS (
+           SELECT source,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS non_alnum_ratio,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(floor((
+             least(n_chars / 500.0, 1.0) * 0.4 +
+             least(stop_ratio * 5.0, 1.0) * 0.3 +
+             (1.0 - least(non_alnum_ratio * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_i4
+         FROM q GROUP BY source ORDER BY source""",
+
+    "q16_token_counts" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS token_count,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate
+         FROM documents ORDER BY doc_id"""
+  )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * Everything below is built from codegen'd Catalyst expressions
+  * (transform/aggregate/zip_with/xxhash64) — no UDFs — so whole-stage
+  * codegen spans the hot path and the only shuffles are the final groupBy /
+  * self-join on compact keys (never on document text).
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup: one row per distinct text, keeping the smallest id.
+    * Shuffle key is md5(text) (32 bytes), not the text itself. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5"), col(idCol))
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------- shingles ----------
+
+  /** Word n-gram shingles (array<string>) of the whitespace tokens. */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val tokens = split(textCol, " ")
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+      .otherwise(array(textCol))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(textCol: Column, n: Int): Column =
+    when(length(textCol) >= n,
+      transform(sequence(lit(0), length(textCol) - n),
+        i => textCol.substr(i + 1, lit(n))))
+      .otherwise(array(textCol))
+
+  // ---------- MinHash + LSH ----------
+
+  /** MinHash signature (array<bigint> of length k) over a shingle array:
+    * sig[j] = min over shingles s of xxhash64(s, j). One pass, map-local. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    aggregate(
+      shinglesCol,
+      transform(sequence(lit(1), lit(k)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, transform(sequence(lit(1), lit(k)), j => xxhash64(s, j)), (a, b) => least(a, b)))
+
+  /** LSH band keys: the signature split into `bands` bands of k/bands rows,
+    * each hashed to one bigint. Docs sharing any (band_idx, band_hash) are
+    * candidate near-duplicates. */
+  def lshBands(sigCol: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b => xxhash64(slice(sigCol, b * r + 1, lit(r))))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified by estimated
+    * jaccard (signature agreement ratio).
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val banded = df.select(
+        col(idCol).as("id"),
+        minhashSignature(wordShingles(col(textCol), shingleWords), k).as("sig"))
+      .select(col("id"), col("sig"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64(token),
+    * folded into one bigint. Map-local, codegen'd. */
+  def simhash(textCol: Column): Column = {
+    val tokens = split(textCol, " ")
+    val votes = aggregate(
+      tokens,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-duplicate pairs within a hamming radius, using 16-bit
+    * chunk blocking (any pair at distance <= 3 shares one of 4 chunks) and
+    * bit_count verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftrightunsigned", col("sh"), c * 16).bitwiseAND(lit(0xffffL)))).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------- n-gram Jaccard ----------
+
+  /** Exact n-gram Jaccard similarity for candidate pairs blocked on their
+    * minimum shingle hash (cheap blocking; exact verify). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleWords)).as("shingles"))
+      .withColumn("block", aggregate(transform(col("shingles"), s => xxhash64(s)),
+        lit(Long.MaxValue), (acc, h) => least(acc, h)))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

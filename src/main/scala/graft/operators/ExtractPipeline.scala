@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pdf.PdfExtract
+import graft.html.HtmlExtract
+import graft.sources.CrawlRow
+
+/** One extracted document: the corpus-level row equivalent of the
+  * reference's per-document output directory (7 sink files,
+  * /root/reference/pdf/output.go:12-21). `contents` is the byte-identical
+  * extracted-text gate; `text` is a lossy UTF-8 view for querying.
+  */
+final case class ExtractedDoc(
+    url: String,
+    warc_ts: Timestamp,
+    lang: String,
+    kind: String, // "pdf" | "html"
+    contents: Array[Byte],
+    text: String,
+    javascript: Array[Byte],
+    urls: Seq[String],
+    files: Seq[String],
+    commands: Seq[String],
+    errors: Seq[String],
+    embedded_md5: Seq[String],
+    embedded_name: Seq[String],
+    raw_md5: String,
+    raw_size: Long,
+    ok: Boolean,
+    failure: String,
+    n_objects: Long,
+    n_streams: Long,
+    n_filters: Long,
+    n_errors: Long
+)
+
+/** The corpus-level extraction pipeline: the reference's
+  * `pdf.Parse(file, password, outdir)` lifted to a typed Dataset transform.
+  *
+  * Plan shape (see `.explain`): the whole extraction is a single map-local
+  * `MapPartitionsExec` over the scan — zero shuffles. Column pruning happens
+  * in the scan because the `select` runs BEFORE the opaque lambda. Shuffles
+  * appear only where explicitly requested (salted repartition for skew,
+  * metrics groupBy, resume anti-join).
+  */
+object ExtractPipeline {
+
+  /** Payload router: the reference parses everything as PDF; the north rule
+    * adds an HTML-boilerplate-strip fallback for non-PDF payloads. A row is
+    * PDF if the payload carries the PDF magic or the url says .pdf (the
+    * fixture corpus includes header-less PDFs, so magic alone is wrong). */
+  def isPdf(url: String, payload: Array[Byte]): Boolean = {
+    val magic = payload.length >= 5 && payload(0) == '%' && payload(1) == 'P' &&
+      payload(2) == 'D' && payload(3) == 'F' && payload(4) == '-'
+    magic || url.toLowerCase.endsWith(".pdf")
+  }
+
+  private def splitLines(b: Array[Byte]): Seq[String] =
+    if (b.isEmpty) Seq.empty
+    else {
+      val s = new String(b, ISO_8859_1)
+      // sinks are newline-terminated line files; drop the trailing empty cell
+      val parts = s.split("\n", -1)
+      (if (parts.nonEmpty && parts.last.isEmpty) parts.dropRight(1) else parts).toSeq
+    }
+
+  private def md5hex(b: Array[Byte]): String =
+    graft.pdf.Crypto.md5(b).map(x => f"$x%02x").mkString
+
+  /** Extract a single row. Pure; never throws. */
+  def extractOne(row: CrawlRow, password: String, includeRawBytes: Boolean): ExtractedDoc = {
+    val payload = if (row.html == null) Array.emptyByteArray else row.html
+    if (isPdf(row.url, payload)) {
+      val r = PdfExtract.parse(payload, password)
+      ExtractedDoc(
+        url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "pdf",
+        contents = r.contents,
+        text = new String(r.contents, UTF_8),
+        javascript = r.javascript,
+        urls = splitLines(r.urls),
+        files = splitLines(r.files),
+        commands = splitLines(r.commands),
+        errors = splitLines(r.errors),
+        embedded_md5 = r.embedded.map(_.md5),
+        embedded_name = r.embedded.map(_.name),
+        raw_md5 = md5hex(r.raw),
+        raw_size = r.raw.length.toLong,
+        ok = r.ok,
+        failure = r.failure,
+        n_objects = r.nObjects,
+        n_streams = r.nStreams,
+        n_filters = r.filtersApplied.valuesIterator.sum,
+        n_errors = splitLines(r.errors).size.toLong)
+    } else {
+      val text = HtmlExtract.extract(payload)
+      val contents = text.getBytes(UTF_8)
+      ExtractedDoc(
+        url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "html",
+        contents = contents, text = text,
+        javascript = Array.emptyByteArray,
+        urls = Seq.empty, files = Seq.empty, commands = Seq.empty,
+        errors = Seq.empty, embedded_md5 = Seq.empty, embedded_name = Seq.empty,
+        raw_md5 = md5hex(payload), raw_size = payload.length.toLong,
+        ok = true, failure = null,
+        n_objects = 0L, n_streams = 0L, n_filters = 0L, n_errors = 0L)
+    }
+  }
+
+  /** The flagship transform: one ExtractedDoc per CrawlRow, shuffle-free.
+    * Equivalent of one `pdf.Parse` call per document (pdf/pdf.go:8). */
+  def extractDocs(ds: Dataset[CrawlRow], password: String = ""): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.map(row => extractOne(row, password, includeRawBytes = false)))
+  }
+
+  /** Salted url-hash repartition (north rule): spreads url-clustered inputs
+    * evenly before the map-local extraction. `salt` rotates the hash per
+    * round so retries land on different executors. */
+  def saltedRepartitionByUrl(ds: Dataset[CrawlRow], numPartitions: Int, salt: Int = 0): Dataset[CrawlRow] =
+    ds.repartition(numPartitions, pmod(xxhash64(col("url"), lit(salt)), lit(numPartitions)))
+
+  /** Skew handling for pathological multi-GB payloads: rows above the size
+    * threshold go through a dedicated pass with one doc per partition-ish
+    * granularity; the rest stay on the fast path. Union preserves the
+    * one-row-per-url contract. */
+  def extractDocsSkewAware(ds: Dataset[CrawlRow], password: String = "",
+                           bigPayloadBytes: Long = 64L * 1024 * 1024,
+                           numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    val spark = ds.sparkSession
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val small = ds.filter(length(col("html")) <= bigPayloadBytes)
+    val big = ds.filter(length(col("html")) > bigPayloadBytes)
+    extractDocs(saltedRepartitionByUrl(small, parts), password)
+      .unionByName(extractDocs(big.repartition(parts * 4, xxhash64(col("url"))), password))
+  }
+
+  /** Per-partition extraction metrics + lineage rows, appended to the
+    * metrics table each batch (objects decoded, streams, filters, failures,
+    * url range) — the corpus analogue of the reference's error channel. */
+  def partitionMetrics(docs: Dataset[ExtractedDoc]): DataFrame =
+    docs.groupBy(spark_partition_id().as("partition_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_failed"),
+        sum(col("n_objects")).as("n_objects"),
+        sum(col("n_streams")).as("n_streams"),
+        sum(col("n_filters")).as("n_filters"),
+        sum(col("n_errors")).as("n_errors"),
+        min(col("url")).as("url_min"),
+        max(col("url")).as("url_max"))
+
+  /** Corpus-level abnormality profile: exploded error-channel lines with
+    * counts (the 14 exact reference message strings become group keys). */
+  def errorProfile(docs: Dataset[ExtractedDoc]): DataFrame =
+    docs.select(explode(col("errors")).as("error"))
+      .groupBy(col("error")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("error"))
+}

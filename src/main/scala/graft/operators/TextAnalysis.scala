@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language id (marker
+  * heuristic), quality scoring, token counting, and document fingerprinting.
+  * All pure Catalyst expressions (portable semantics, ANSI-SQL expressible
+  * where used as oracle-checked queries).
+  */
+object TextAnalysis {
+
+  /** Marker words per language; deterministic argmax with fixed tie-break
+    * order (the declaration order below). Deliberately simple and 100%
+    * SQL-portable so the DuckDB oracle can replicate it verbatim. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "ru" -> Seq(" и ", " не ", " что "))
+
+  private def langScore(textCol: Column, markers: Seq[String]): Column =
+    markers.map(m => when(textCol.contains(m), 1).otherwise(0)).reduce(_ + _)
+
+  /** Detected language: highest marker score wins; score 0 => "und". */
+  def langId(textCol: Column): Column = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    val scored = LangMarkers.map { case (l, ms) => (l, langScore(padded, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, " "))
+
+  /** BPE-ish subword-count estimate: word pieces of <= 4 chars. */
+  def bpeTokenEstimate(textCol: Column): Column =
+    aggregate(transform(split(textCol, " "), t => ceil(length(t).cast("double") / 4.0d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quality features: length, tokens, mean token length, uppercase ratio,
+    * non-alphanumeric ratio, stopword ratio, and a composite [0,1] score. */
+  def qualityColumns(textCol: Column): Seq[Column] = {
+    val nChars = length(textCol)
+    val tokens = split(textCol, " ")
+    val nTokens = size(tokens)
+    val meanTokLen = (nChars.cast("double") / greatest(nTokens, lit(1)).cast("double"))
+    val nonAlnum = length(regexp_replace(textCol, "[a-zA-Z0-9 ]", ""))
+    val nonAlnumRatio = nonAlnum.cast("double") / greatest(nChars, lit(1)).cast("double")
+    val stopHits = aggregate(
+      transform(tokens, t => when(lower(t).isin("the", "and", "of", "a", "to", "in", "is"), 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val stopRatio = stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val lenScore = least(nChars.cast("double") / lit(500.0d), lit(1.0d))
+    val score = (lenScore * lit(0.4d)) +
+      (least(stopRatio * lit(5.0d), lit(1.0d)) * lit(0.3d)) +
+      ((lit(1.0d) - least(nonAlnumRatio * lit(5.0d), lit(1.0d))) * lit(0.3d))
+    Seq(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(nonAlnumRatio, 4).as("non_alnum_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 4).as("quality_score"),
+      // integer-scaled score (1e4): floor of a double is bit-portable and
+      // integer sums are order-independent — the aggregation-safe variant
+      floor(score * 10000).cast("long").as("quality_score_i4"))
+  }
+
+  /** 64-bit rolling document fingerprint: ordered hash-chain fold of token
+    * hashes (order-sensitive; ANSI-safe — no overflowing arithmetic). */
+  def fingerprint(textCol: Column): Column =
+    aggregate(transform(split(textCol, " "), t => xxhash64(t)),
+      lit(1469598103934665603L), (acc, h) => xxhash64(acc, h))
+
+  /** Convenience: the documents table with all analysis columns attached. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.select((col("*") +:
+      (langId(col(textCol)).as("detected_lang") +:
+        tokenCount(col(textCol)).as("token_count") +:
+        bpeTokenEstimate(col(textCol)).as("bpe_estimate") +:
+        fingerprint(col(textCol)).as("fingerprint") +:
+        qualityColumns(col(textCol)))): _*)
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-committed table storage with exact resume.
+  *
+  * The production design is an Iceberg table (atomic snapshot commits); this
+  * sandbox has no Iceberg runtime jar, so the same contract is provided by a
+  * Parquet+manifest backend: a batch is written to a staging directory, then
+  * atomically renamed into the data area, then recorded by an atomic
+  * manifest-entry file. Readers only see manifest-listed batches, so a
+  * killed writer leaves no partial state — `read` + `left_anti` resume is
+  * exactly-once per url. An Iceberg-backed implementation slots behind the
+  * same trait unchanged.
+  */
+trait TableIO {
+  def commit(df: DataFrame, batchId: String): Unit
+  def read(spark: SparkSession): DataFrame
+  def committedBatches: Seq[String]
+  def exists: Boolean
+}
+
+final class ParquetManifestTable(rootDir: String) extends TableIO {
+  private def root: Path = Paths.get(rootDir)
+  private def stagingDir: Path = root.resolve("_staging")
+  private def dataDir: Path = root.resolve("data")
+  private def manifestDir: Path = root.resolve("_manifest")
+
+  def exists: Boolean = Files.isDirectory(manifestDir)
+
+  def committedBatches: Seq[String] =
+    if (!exists) Seq.empty
+    else Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".committed"))
+      .map(_.stripSuffix(".committed"))
+      .toSeq.sorted
+
+  /** Write staging parquet, atomic-rename into data/, then atomic-create the
+    * manifest entry. The manifest entry is the commit point. */
+  def commit(df: DataFrame, batchId: String): Unit = {
+    require(!batchId.contains('/') && batchId.nonEmpty, s"bad batchId: $batchId")
+    Files.createDirectories(stagingDir)
+    Files.createDirectories(dataDir)
+    Files.createDirectories(manifestDir)
+    val staged = stagingDir.resolve(batchId)
+    val committed = dataDir.resolve(batchId)
+    if (committedBatches.contains(batchId)) return // idempotent re-commit
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    Files.move(staged, committed, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = manifestDir.resolve(batchId + ".tmp")
+    Files.writeString(tmp, batchId)
+    Files.move(tmp, manifestDir.resolve(batchId + ".committed"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(spark: SparkSession): DataFrame = {
+    val batches = committedBatches.map(b => dataDir.resolve(b).toString)
+    require(batches.nonEmpty, s"no committed batches under $rootDir")
+    spark.read.parquet(batches: _*)
+  }
+}
+
+object Resume {
+  /** Exact resume: input rows whose url has not been committed yet. A plain
+    * left_anti join — Catalyst broadcasts the committed-url side when small,
+    * shuffles both sides on url otherwise. */
+  def pending(input: Dataset[CrawlRow], table: TableIO): Dataset[CrawlRow] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    if (!table.exists || table.committedBatches.isEmpty) input
+    else {
+      val committedUrls = table.read(spark).select("url")
+      input.join(committedUrls, Seq("url"), "left_anti").as[CrawlRow]
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import graft.operators.ExtractPipeline
+import graft.sources.{CrawlCorpus, ParquetManifestTable, Resume}
+
+/** End-to-end Dataset tests for the extraction pipeline: per-url goldens,
+  * determinism across partitionings, exact resume, and streaming ingestion.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  def corpus(n: Long) = CrawlCorpus.crawl(spark, n, seed = 42L)
+
+  test("extractDocs: one row per url, per-fixture golden text") {
+    import spark.implicits._
+    val docs = ExtractPipeline.extractDocs(corpus(72)).cache()
+    assert(docs.count() == 72)
+    assert(docs.select("url").distinct().count() == 72)
+
+    // xref_repair.pdf extracts exactly "Hello World\n" (pdf/page.go:66-70 +
+    // the fixture's content stream)
+    val repair = docs.filter(_.url.endsWith("xref_repair.pdf")).collect()
+    assert(repair.nonEmpty)
+    repair.foreach { d =>
+      assert(d.kind == "pdf")
+      assert(new String(d.contents, ISO_8859_1) == "Hello World\n", d.url)
+      assert(d.ok)
+    }
+
+    // malformed fixtures produce their exact reference error strings
+    val unclosed = docs.filter(_.url.endsWith("unclosed_array.pdf")).collect()
+    unclosed.foreach(d => assert(d.errors.contains("unclosed array"), d.errors))
+
+    // html rows extract non-empty boilerplate-stripped text
+    val html = docs.filter(_.kind == "html").collect()
+    assert(html.nonEmpty)
+    html.foreach { d =>
+      assert(d.ok)
+      val t = new String(d.contents, UTF_8)
+      assert(t.nonEmpty)
+      assert(!t.contains("not content"), "script content leaked")
+    }
+    docs.unpersist()
+  }
+
+  test("extractDocs: deterministic across partitionings") {
+    def fingerprint(parts: Int): Seq[(String, String)] = {
+      val docs = ExtractPipeline.extractDocs(corpus(60).repartition(parts))
+      docs.toDF()
+        .select(col("url"), md5(col("contents")).as("m"))
+        .orderBy("url")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .toSeq
+    }
+    assert(fingerprint(3) == fingerprint(13))
+  }
+
+  test("skew-aware extraction preserves the one-row-per-url contract") {
+    val docs = ExtractPipeline.extractDocsSkewAware(corpus(40), bigPayloadBytes = 2000, numPartitions = 4)
+    assert(docs.count() == 40)
+    assert(docs.select("url").distinct().count() == 40)
+  }
+
+  test("TableIO: atomic commit + exact resume") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    val table = new ParquetManifestTable(root)
+    val all = corpus(30)
+
+    // commit the first batch (urls with even row ids)
+    val batch1 = ExtractPipeline.extractDocs(all.filter(r => (r.url.split("/")(3).toLong % 2) == 0))
+    table.commit(batch1.toDF(), "batch-001")
+    assert(table.committedBatches == Seq("batch-001"))
+
+    // resume sees exactly the other half
+    val pending = Resume.pending(all, table)
+    assert(pending.count() == 15)
+    assert(pending.collect().forall(r => r.url.split("/")(3).toLong % 2 == 1))
+
+    // idempotent re-commit of the same batch id is a no-op
+    table.commit(batch1.toDF(), "batch-001")
+    assert(table.committedBatches == Seq("batch-001"))
+
+    // a staged-but-uncommitted batch is invisible to readers
+    val staged = new java.io.File(s"$root/_staging/broken")
+    staged.mkdirs()
+    assert(table.committedBatches == Seq("batch-001"))
+
+    // commit the rest: resume drains to zero
+    table.commit(ExtractPipeline.extractDocs(pending).toDF(), "batch-002")
+    assert(Resume.pending(all, table).count() == 0)
+    assert(table.read(spark).count() == 30)
+    // exactly-once per url
+    assert(table.read(spark).select("url").distinct().count() == 30)
+  }
+
+  test("streaming facade: AvailableNow ingestion commits atomic batches") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_in").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("graft_stbl").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    corpus(20).toDF().write.mode("overwrite").parquet(inDir)
+
+    val q = graft.streaming.StreamingExtract.start(spark, inDir, tblDir, ckDir)
+    q.awaitTermination(60000)
+    val table = new ParquetManifestTable(tblDir)
+    assert(table.committedBatches.nonEmpty)
+    assert(table.read(spark).count() == 20)
+
+    // restart with same checkpoint: no new data, no duplicate commits
+    val q2 = graft.streaming.StreamingExtract.start(spark, inDir, tblDir, ckDir)
+    q2.awaitTermination(60000)
+    assert(table.read(spark).count() == 20)
+  }
+
+  test("metrics + error profile") {
+    val docs = ExtractPipeline.extractDocs(
+      ExtractPipeline.saltedRepartitionByUrl(corpus(72), 8))
+    val m = ExtractPipeline.partitionMetrics(docs).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 72)
+    val errs = ExtractPipeline.errorProfile(docs).collect()
+    // the malformed fixtures guarantee a populated error channel
+    assert(errs.nonEmpty)
+    val messages = errs.map(_.getString(0)).toSet
+    assert(messages.contains("unclosed array"))
+  }
+}
