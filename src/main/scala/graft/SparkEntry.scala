@@ -260,7 +260,7 @@ object SparkEntry {
       ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 101, 42L)).toDF()
         .where(col("kind") === "html")
         .select(col("url"), md5(col("contents")).as("text_md5"),
-          length(col("text")).as("n_chars"))
+          length(decode(col("contents"), "UTF-8")).as("n_chars"))
         .orderBy(col("url")))
   )
 

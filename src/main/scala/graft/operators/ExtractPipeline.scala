@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.charset.StandardCharsets.ISO_8859_1
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,7 +11,9 @@ import graft.sources.CrawlRow
 /** One extracted document: the corpus-level row equivalent of the
   * reference's per-document output directory (7 sink files,
   * /root/reference/pdf/output.go:12-21). `contents` is the byte-identical
-  * extracted-text gate; `text` is a lossy UTF-8 view for querying.
+  * extracted-text gate; a string view is derived on read with
+  * decode(contents, 'UTF-8') — storing it twice would double the output
+  * volume of a 100 TB run for no information.
   */
 final case class ExtractedDoc(
     url: String,
@@ -19,7 +21,6 @@ final case class ExtractedDoc(
     lang: String,
     kind: String, // "pdf" | "html"
     contents: Array[Byte],
-    text: String,
     javascript: Array[Byte],
     urls: Seq[String],
     files: Seq[String],
@@ -71,14 +72,16 @@ object ExtractPipeline {
     graft.pdf.Crypto.md5(b).map(x => f"$x%02x").mkString
 
   /** Extract a single row. Pure; never throws. */
-  def extractOne(row: CrawlRow, password: String, includeRawBytes: Boolean): ExtractedDoc = {
+  def extractOne(row: CrawlRow, password: String, includeRawBytes: Boolean): ExtractedDoc =
+    extractOne(row, password, new HtmlExtract.Scratch)
+
+  def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch): ExtractedDoc = {
     val payload = if (row.html == null) Array.emptyByteArray else row.html
     if (isPdf(row.url, payload)) {
       val r = PdfExtract.parse(payload, password)
       ExtractedDoc(
         url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "pdf",
         contents = r.contents,
-        text = new String(r.contents, UTF_8),
         javascript = r.javascript,
         urls = splitLines(r.urls),
         files = splitLines(r.files),
@@ -95,11 +98,10 @@ object ExtractPipeline {
         n_filters = r.filtersApplied.valuesIterator.sum,
         n_errors = splitLines(r.errors).size.toLong)
     } else {
-      val text = HtmlExtract.extract(payload)
-      val contents = text.getBytes(UTF_8)
+      val contents = HtmlExtract.extractBytes(payload, scratch)
       ExtractedDoc(
         url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "html",
-        contents = contents, text = text,
+        contents = contents,
         javascript = Array.emptyByteArray,
         urls = Seq.empty, files = Seq.empty, commands = Seq.empty,
         errors = Seq.empty, embedded_md5 = Seq.empty, embedded_name = Seq.empty,
@@ -113,7 +115,10 @@ object ExtractPipeline {
     * Equivalent of one `pdf.Parse` call per document (pdf/pdf.go:8). */
   def extractDocs(ds: Dataset[CrawlRow], password: String = ""): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(it => it.map(row => extractOne(row, password, includeRawBytes = false)))
+    ds.mapPartitions { it =>
+      val scratch = new HtmlExtract.Scratch // one per task
+      it.map(row => extractOne(row, password, scratch))
+    }
   }
 
   /** Salted url-hash repartition (north rule): spreads url-clustered inputs

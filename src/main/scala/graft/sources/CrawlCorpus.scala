@@ -52,8 +52,9 @@ object CrawlCorpus {
     arr(((r % arr.length) + arr.length).toInt % arr.length)
 
   /** Build one row. Even ids carry a fixture PDF payload; odd ids carry a
-    * generated HTML page. */
-  def row(id: Long, seed: Long): CrawlRow = {
+    * generated HTML page. `htmlScale` multiplies the page body size
+    * (1 ~ 1.5 KB; 20 ~ 30 KB, a realistic crawl page). */
+  def row(id: Long, seed: Long, htmlScale: Int = 1): CrawlRow = {
     val lang = pick(Langs, draw(seed, id, 1))
     val ts = new Timestamp(BaseTsMillis + (id % 86400L) * 1000L + id / 86400L)
     if (id % 2 == 0) {
@@ -69,7 +70,7 @@ object CrawlCorpus {
       CrawlRow(
         url = s"test://crawl/$id/page.html",
         warc_ts = ts,
-        html = genHtml(id, seed).getBytes("UTF-8"),
+        html = genHtml(id, seed, htmlScale).getBytes("UTF-8"),
         text = "",
         lang = lang)
     }
@@ -77,7 +78,7 @@ object CrawlCorpus {
 
   /** Deterministic HTML page: head + nav link cluster (boilerplate), a main
     * article of several paragraphs, a table, a footer link cluster. */
-  def genHtml(id: Long, seed: Long): String = {
+  def genHtml(id: Long, seed: Long, htmlScale: Int = 1): String = {
     val sb = new StringBuilder
     def w(k: Long): String = pick(Words, draw(seed, id, k))
     sb ++= "<!DOCTYPE html><html><head><title>" ++= w(2) ++= " " ++= w(3)
@@ -86,7 +87,7 @@ object CrawlCorpus {
     sb ++= "<nav><a href=\"/\">home</a> <a href=\"/a\">" ++= w(4)
     sb ++= "</a> <a href=\"/b\">" ++= w(5) ++= "</a></nav>"
     sb ++= "<article><h1>" ++= w(6) ++= " " ++= w(7) ++= "</h1>"
-    val nParas = 3 + (math.abs(draw(seed, id, 8)) % 5).toInt
+    val nParas = (3 + (math.abs(draw(seed, id, 8)) % 5).toInt) * math.max(htmlScale, 1)
     var p = 0
     while (p < nParas) {
       sb ++= "<p>"
@@ -109,12 +110,12 @@ object CrawlCorpus {
 
   /** The corpus as a typed Dataset, generated distributed. */
   def crawl(spark: SparkSession, nDocs: Long, seed: Long = 42L,
-            numPartitions: Int = 0): Dataset[CrawlRow] = {
+            numPartitions: Int = 0, htmlScale: Int = 1): Dataset[CrawlRow] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism
     spark.range(0, nDocs, 1, parts).mapPartitions { it =>
-      it.map(id => row(id, seed))
+      it.map(id => row(id, seed, htmlScale))
     }
   }
 }
