@@ -256,6 +256,16 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.extractFeatures(Multimodal.synthMedia(s, 50, 42L)))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // native Catalyst Expression surface (pdf_text/html_text/graft_text in SQL)
+    "q31_sql_expression" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      CrawlCorpus.crawl(s, 100, 42L).toDF().createOrReplaceTempView("crawl_pages")
+      s.sql(
+        """SELECT url, md5(t) AS contents_md5, length(t) AS n_bytes
+          |FROM (SELECT url, graft_text(url, html) AS t FROM crawl_pages)
+          |ORDER BY url""".stripMargin)
+    }),
+
     "q30_html_extract" -> ((s, dir) =>
       ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 101, 42L)).toDF()
         .where(col("kind") === "html")

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the document sketches.
+  *
+  * The declarative higher-order-function formulations (graft.operators.Dedup)
+  * are correct but evaluate on the interpreted expression path (~ms per
+  * document); these expressions compute the identical values in tight eval
+  * loops with zero-copy hashing over the UTF8String bytes (XXH64 with
+  * Spark's seed 42, so outputs match the built-in xxhash64 construction
+  * bit-for-bit — asserted in SketchExpressionsSpec).
+  */
+object SketchKernel {
+  private val Seed = 42L
+
+  /** token boundaries of a single-space split (Spark split(text,' ') with
+    * limit -1 semantics: empties kept, incl. leading/trailing). */
+  @inline private def hashRange(s: UTF8String, start: Int, len: Int): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + start, len, Seed)
+
+  /** SimHash64 of the whitespace tokens: identical to the declarative
+    * simhash (xxhash64 per token, per-bit +/-1 votes, bit 63 via 1L<<b). */
+  def simhash(s: UTF8String): Long = {
+    val n = s.numBytes
+    val votes = new Array[Int](64)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      val atSep = i == n || s.getByte(i) == ' '
+      if (atSep) {
+        val h = hashRange(s, tokStart, i - tokStart)
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out += (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature over word n-gram shingles. A shingle of n consecutive
+    * tokens joined by single spaces is exactly the source byte range from
+    * token i's start to token (i+n-1)'s end (split boundaries are single
+    * spaces), so shingles hash zero-copy. Matches the declarative
+    * minhashSignature(wordShingles(text, n), k) bit-for-bit:
+    * base hashes h1/h2 = xxhash64(shingle, 1|2) = hashLong(seed',
+    * hashUTF8-bytes); sig[j] = h1 XOR (h2 >>> j | h2 << (64-j)), j=1..k. */
+  def minhashSignature(s: UTF8String, shingleWords: Int, k: Int): Array[Long] = {
+    val n = s.numBytes
+    // token start offsets
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (s.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = n + 1 // sentinel: end of token j is starts(j+1) - 1
+
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+
+    @inline def mix(start: Int, end: Int): Unit = {
+      val base = hashRange(s, start, end - start)
+      // xxhash64(shingle, lit(j)): the int literal folds in via hashInt
+      val h1 = XXH64.hashInt(1, base)
+      val h2 = XXH64.hashInt(2, base)
+      var j = 1
+      while (j <= k) {
+        val v = h1 ^ ((h2 >>> j) | (h2 << (64 - j)))
+        if (v < sig(j - 1)) sig(j - 1) = v
+        j += 1
+      }
+    }
+
+    if (nTokens >= shingleWords) {
+      var a = 0
+      while (a + shingleWords <= nTokens) {
+        mix(starts(a), starts(a + shingleWords) - 1)
+        a += 1
+      }
+    } else {
+      mix(0, n) // fewer tokens than the shingle width: whole text
+    }
+    sig
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+case class MinHashSig(child: Expression, shingleWords: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernel.minhashSignature(input.asInstanceOf[UTF8String], shingleWords, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SketchKernel.minhashSignature($c, $shingleWords, $k))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object SketchFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  /** DataFrame-API handles for the native sketch expressions. */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def minhashSig(c: Column, shingleWords: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingleWords, k))
+}

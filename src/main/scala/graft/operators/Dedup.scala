@@ -4,10 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
-  * Everything below is built from codegen'd Catalyst expressions
-  * (transform/aggregate/zip_with/xxhash64) — no UDFs — so whole-stage
-  * codegen spans the hot path and the only shuffles are the final groupBy /
-  * self-join on compact keys (never on document text).
+  * Everything below is built from native Catalyst expressions
+  * (transform/aggregate/zip_with/xxhash64) — no UDFs, no Python workers.
+  * (Higher-order functions evaluate on the interpreted expression path, not
+  * whole-stage codegen, but they read from the columnar batch directly and
+  * add zero (de)serialization.) The only shuffles are the final groupBy /
+  * self-join on compact keys (band hashes, simhash chunks, id pairs) —
+  * never on document text.
   */
 object Dedup {
 
@@ -40,13 +43,29 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature (array<bigint> of length k) over a shingle array:
-    * sig[j] = min over shingles s of xxhash64(s, j). One pass, map-local. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+  /** MinHash signature (array<bigint> of length k) over a shingle array.
+    * Hash family: two xxhash64 draws per shingle combined by bit rotation —
+    * h_j(s) = h1(s) XOR rot(h2(s), j) — the standard two-hash construction,
+    * ANSI-safe (no overflowing arithmetic) and k/2 x fewer hash evaluations
+    * than one xxhash64 per (shingle, j). One pass, map-local. */
+  def minhashSignatureDeclarative(shinglesCol: Column, k: Int): Column = {
+    // hash each shingle exactly twice (materialized via the struct array so
+    // Catalyst cannot re-evaluate xxhash64 inside the k-wide inner loop)
+    val hashed = transform(shinglesCol,
+      s => struct(xxhash64(s, lit(1)).as("h1"), xxhash64(s, lit(2)).as("h2")))
     aggregate(
-      shinglesCol,
+      hashed,
       transform(sequence(lit(1), lit(k)), _ => lit(Long.MaxValue)),
-      (acc, s) => zip_with(acc, transform(sequence(lit(1), lit(k)), j => xxhash64(s, j)), (a, b) => least(a, b)))
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(1), lit(k)), j => {
+            val rot = call_function("shiftrightunsigned", h.getField("h2"), j)
+              .bitwiseOR(call_function("shiftleft", h.getField("h2"), lit(64) - j))
+            h.getField("h1").bitwiseXOR(rot)
+          }),
+          (a, b) => least(a, b)))
+  }
 
   /** LSH band keys: the signature split into `bands` bands of k/bands rows,
     * each hashed to one bigint. Docs sharing any (band_idx, band_hash) are
@@ -64,7 +83,7 @@ object Dedup {
                       minJaccard: Double = 0.5): DataFrame = {
     val banded = df.select(
         col(idCol).as("id"),
-        minhashSignature(wordShingles(col(textCol), shingleWords), k).as("sig"))
+        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
       .select(col("id"), col("sig"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
 
     val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -81,16 +100,22 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64(token),
-    * folded into one bigint. Map-local, codegen'd. */
-  def simhash(textCol: Column): Column = {
-    val tokens = split(textCol, " ")
+    * folded into one bigint. Map-local, native expressions. */
+  /** Fast path: native Catalyst expression (bit-identical to the
+    * declarative formulation — see SketchExpressionsSpec). */
+  def simhash(textCol: Column): Column =
+    graft.functions.SketchFunctions.simhash64(textCol)
+
+  def simhashDeclarative(textCol: Column): Column = {
+    // hash each token once; the 64-bit vote loop then only shifts
+    val tokenHashes = transform(split(textCol, " "), t => xxhash64(t))
     val votes = aggregate(
-      tokens,
+      tokenHashes,
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),

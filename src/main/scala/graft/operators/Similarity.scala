@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (array<float>): brute-force
   * cosine top-k as the exact baseline, plus a deterministic random-hyperplane
   * LSH bucketing as the 100 TB scale path (candidates shrink by the bucket
-  * factor before the exact re-rank). All expressions are codegen'd
-  * (zip_with/aggregate); the query side is broadcast so the corpus is
-  * scanned exactly once with no shuffle of the embedding vectors.
+  * factor before the exact re-rank). All scoring is native Catalyst
+  * expressions (zip_with/aggregate — no UDFs, zero extra serialization);
+  * the query side is broadcast so the corpus is scanned exactly once with
+  * no shuffle of the embedding vectors.
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (codegen'd, no UDF). */
+  /** dot(a, b) via zip_with + aggregate (native expression, no UDF). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, ExtractPipeline, Similarity}
+import graft.sources.CrawlCorpus
+
+/** Physical-plan shape assertions — the 100 TB guarantees are properties of
+  * the plan, not of small-scale timings: pushdown reaches the scan, small
+  * dims broadcast, the extraction map is shuffle-free, and sketch self-joins
+  * shuffle compact keys rather than document text.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q01_filter_project")(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("l_quantity") && p.contains("l_returnflag"))
+    // pruned read schema: only the 4 needed columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03: dimension joins are broadcast, fact side never shuffles whole rows") {
+    val p = plan(SparkEntry.queries("q03_join_broadcast")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("extractDocs: zero shuffles — a single map-local pass over the scan") {
+    val docs = ExtractPipeline.extractDocs(CrawlCorpus.crawl(spark, 100, 42L)).toDF()
+    val p = plan(docs)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("extraction + aggregate: exactly the partial-agg exchange, nothing else") {
+    val docs = ExtractPipeline.extractDocs(CrawlCorpus.crawl(spark, 100, 42L)).toDF()
+    val agg = docs.agg(sum(length(col("contents"))))
+    val p = plan(agg)
+    // one shuffle for the final agg only (single row), partial agg map-side
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
+
+  test("minhash LSH self-join shuffles band keys, not document text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", minJaccard = 0.9)
+    val p = plan(pairs)
+    // the join keys are the compact band columns (broadcast at this scale,
+    // band-keyed shuffle at corpus scale); any shuffle keys on band keys or
+    // id pairs — the raw text column never reaches an exchange or join key
+    assert(p.contains("band_hash"), p.take(3000))
+    val joinLines = p.linesIterator.filter(l => l.contains("HashJoin")).toSeq
+    assert(joinLines.exists(_.contains("band_hash")), joinLines.mkString("\n"))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    exchangeLines.foreach { l =>
+      assert(l.contains("band_") || l.contains("id_"), l)
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("ANN brute force: query side broadcast, corpus scanned once") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val p = plan(topk)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),
+      graft.functions.SketchFunctions.minhashSig(col("text"), 3, 16).as("sig"))
+    val p = plan(sketched)
+    // higher-order functions evaluate interpreted (no whole-stage codegen),
+    // but they are native expressions: no ScalaUDF / Python batch nodes, and
+    // the scan stays columnar-batched with a pruned schema
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("Batched: true"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<text:string>"), p.take(2000))
+    // the two base hashes per shingle are materialized once via the struct
+    assert(p.contains("minhash_sig") || p.contains("struct(h1"), p.take(2000))
+  }
+}

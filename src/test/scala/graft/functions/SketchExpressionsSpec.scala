@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.Dedup
+
+/** Parity: the native sketch expressions must equal the declarative
+  * higher-order-function formulations bit-for-bit on real data. */
+class SketchExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("native simhash64 == declarative simhash on all documents") {
+    val cmp = docs.select(
+      Dedup.simhashDeclarative(col("text")).as("a"),
+      SketchFunctions.simhash64(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("native minhash_sig == declarative signature on all documents") {
+    val cmp = docs.select(
+      Dedup.minhashSignatureDeclarative(Dedup.wordShingles(col("text"), 3), 32).as("a"),
+      SketchFunctions.minhashSig(col("text"), 3, 32).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("edge cases: empty text, single token, consecutive spaces") {
+    import spark.implicits._
+    val edge = Seq("", "word", "a  b", " lead", "trail ", "a b c d e").toDF("text")
+    val cmp = edge.select(
+      Dedup.simhashDeclarative(col("text")).as("a"),
+      SketchFunctions.simhash64(col("text")).as("b"),
+      Dedup.minhashSignatureDeclarative(Dedup.wordShingles(col("text"), 3), 16).as("ma"),
+      SketchFunctions.minhashSig(col("text"), 3, 16).as("mb"))
+    val rows = cmp.collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r)
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), r)
+    }
+  }
+}
