@@ -101,8 +101,10 @@ object SparkEntry {
         .limit(100)),
 
     "q06_anti_join" -> ((s, dir) =>
+      // customers with no finalized ("F") order — resume-bookkeeping shape
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))
         .orderBy(col("c_custkey"))),
 
@@ -312,7 +314,7 @@ object SparkEntry {
 
     "q06_anti_join" ->
       """SELECT c_custkey FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY c_custkey""",
 
     "q07_semi_join" ->
