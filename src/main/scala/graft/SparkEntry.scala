@@ -258,6 +258,16 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.extractFeatures(Multimodal.synthMedia(s, 50, 42L)))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    "q32_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
     // native Catalyst Expression surface (pdf_text/html_text/graft_text in SQL)
     "q31_sql_expression" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -411,6 +421,15 @@ object SparkEntry {
              least(stop_ratio * 5.0, 1.0) * 0.3 +
              (1.0 - least(non_alnum_ratio * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_i4
          FROM q GROUP BY source ORDER BY source""",
+
+    "q32_corpus_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id
+         FROM documents""",
 
     "q16_token_counts" ->
       """SELECT doc_id,

@@ -145,15 +145,17 @@ object Dedup {
   // ---------- n-gram Jaccard ----------
 
   /** Exact n-gram Jaccard similarity for candidate pairs blocked on their
-    * minimum shingle hash (cheap blocking; exact verify). */
+    * minimum shingle hash (cheap blocking; exact verify). The set algebra
+    * runs on 64-bit shingle hashes, not shingle strings — identical jaccard
+    * up to hash collisions (~2^-64 per pair) at a fraction of the compare
+    * and shuffle cost. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleWords)).as("shingles"))
-      .withColumn("block", aggregate(transform(col("shingles"), s => xxhash64(s)),
-        lit(Long.MaxValue), (acc, h) => least(acc, h)))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("shingles").as("sh_b"))
+      array_distinct(transform(wordShingles(col(textCol), shingleWords), s => xxhash64(s))).as("hashes"))
+      .withColumn("block", array_min(col("hashes")))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("hashes").as("sh_a"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("hashes").as("sh_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
