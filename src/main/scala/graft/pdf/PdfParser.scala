@@ -66,6 +66,19 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   var nStreamsDecoded: Long = 0
   val filtersApplied: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty
 
+  // Object-fetch memoization. The reference re-parses an object on every
+  // GetObject (pdf/parser.go:370, no cache), which makes shared dicts
+  // (fonts, resources) O(refs x size). Post-load fetches are pure functions
+  // of the object number, EXCEPT that parse abnormalities are logged to the
+  // error sink per fetch — so the cache records the error lines emitted
+  // during the first fetch and replays them on every hit, keeping the error
+  // channel byte-identical to the re-parsing reference. Caching stays OFF
+  // during load(): the security handler resolves /Encrypt's O/U/ID before
+  // the document key exists, and those raw reads must not be reused after
+  // decryption is armed.
+  private var cachingEnabled = false
+  private val objectCache = mutable.HashMap.empty[Int, (IndirectObject, Array[Byte])]
+
   private val len = data.length
 
   // ---- low-level byte ops (bufio.Reader analogue) ----
@@ -89,7 +102,8 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
 
   @inline private def isDigit(b: Int): Boolean = b >= '0' && b <= '9'
 
-  private def logError(message: String): Unit = if (output != null) output.error(message)
+  private def logError(message: String): Unit =
+    if (output != null) output.error(message)
 
   // ---- Load phase (parser.go:33-88) ----
 
@@ -134,6 +148,7 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
       val err = securityHandler.init(password, trailer)
       if (err != null) return err
     }
+    cachingEnabled = !sys.props.contains("graft.nocache")
     null
   }
 
@@ -402,6 +417,33 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   // ---- object fetch (parser.go:370-460) ----
 
   def getObject(number: Int): IndirectObject = {
+    if (cachingEnabled) {
+      objectCache.get(number) match {
+        case Some((cached, errorBytes)) =>
+          nObjectsFetched += 1
+          if (cached.stream != null) nStreamsDecoded += 1 // metric counts per fetch, invariant to caching
+          // re-parsing would re-log the abnormalities: replay them exactly
+          if (errorBytes.length > 0 && output != null)
+            output.errors.write(errorBytes, 0, errorBytes.length)
+          return cached
+        case None =>
+          // capture = the error-sink byte range appended during this fetch
+          // (nested fetches' errors land inside the range, as a re-parse
+          // of this object would re-log them too)
+          val before = if (output != null) output.errors.size() else 0
+          val obj = fetchObject(number)
+          val captured =
+            if (output != null && output.errors.size() > before)
+              java.util.Arrays.copyOfRange(output.errors.toByteArray, before, output.errors.size())
+            else Array.emptyByteArray
+          objectCache(number) = (obj, captured)
+          return obj
+      }
+    }
+    fetchObject(number)
+  }
+
+  private def fetchObject(number: Int): IndirectObject = {
     val obj = IndirectObject.nullObject(number)
     nObjectsFetched += 1
     xref.get(number) match {
