@@ -258,6 +258,15 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.extractFeatures(Multimodal.synthMedia(s, 50, 42L)))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    "q33_cube_grouping" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("o_totalprice"))), 2).cast("double").as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     "q32_corpus_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(
@@ -421,6 +430,13 @@ object SparkEntry {
              least(stop_ratio * 5.0, 1.0) * 0.3 +
              (1.0 - least(non_alnum_ratio * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_i4
          FROM q GROUP BY source ORDER BY source""",
+
+    "q33_cube_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+         CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
 
     "q32_corpus_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
