@@ -277,6 +277,27 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // deterministic hash-based sampling: the reproducible way to draw a
+    // training mix at corpus scale (no RNG state, stable under re-runs,
+    // partitioning-independent)
+    "q34_deterministic_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(substring(md5(col("text")), 1, 1).isin("0", "1", "2"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // token-budget packing: assign docs to fixed-budget context windows via
+    // a running token sum per language shard (greedy sequential packing)
+    "q35_token_packing" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(512)).cast("long"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // native Catalyst Expression surface (pdf_text/html_text/graft_text in SQL)
     "q31_sql_expression" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -430,6 +451,20 @@ object SparkEntry {
              least(stop_ratio * 5.0, 1.0) * 0.3 +
              (1.0 - least(non_alnum_ratio * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_i4
          FROM q GROUP BY source ORDER BY source""",
+
+    "q34_deterministic_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substring(md5(text), 1, 1) IN ('0', '1', '2')
+         ORDER BY doc_id""",
+
+    "q35_token_packing" ->
+      """SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         CAST(floor((SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512) AS BIGINT) AS pack_id
+         FROM documents ORDER BY lang, doc_id""",
 
     "q33_cube_grouping" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
