@@ -72,7 +72,7 @@ object ExtractPipeline {
     graft.pdf.Crypto.md5(b).map(x => f"$x%02x").mkString
 
   /** Extract a single row. Pure; never throws. */
-  def extractOne(row: CrawlRow, password: String, includeRawBytes: Boolean): ExtractedDoc =
+  def extractOne(row: CrawlRow, password: String): ExtractedDoc =
     extractOne(row, password, new HtmlExtract.Scratch)
 
   def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch): ExtractedDoc = {
