@@ -12,8 +12,11 @@ import scala.jdk.CollectionConverters._
   * atomically renamed into the data area, then recorded by an atomic
   * manifest-entry file. Readers only see manifest-listed batches, so a
   * killed writer leaves no partial state — `read` + `left_anti` resume is
-  * exactly-once per url. An Iceberg-backed implementation slots behind the
-  * same trait unchanged.
+  * exactly-once per url. This is the transaction-log-as-source-of-truth
+  * scheme of Delta Lake (Armbrust et al., "Delta Lake: High-Performance
+  * ACID Table Storage over Cloud Object Stores", VLDB 2020) reduced to the
+  * append-only case. An Iceberg-backed implementation slots behind the same
+  * trait unchanged.
   */
 trait TableIO {
   def commit(df: DataFrame, batchId: String): Unit
