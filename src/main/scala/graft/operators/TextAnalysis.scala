@@ -23,14 +23,18 @@ object TextAnalysis {
   private def langScore(textCol: Column, markers: Seq[String]): Column =
     markers.map(m => when(textCol.contains(m), 1).otherwise(0)).reduce(_ + _)
 
-  /** Detected language: highest marker score wins; score 0 => "und". */
+  /** Detected language: highest marker score wins, declaration-order
+    * tie-break (array_position returns the first match); score 0 => "und".
+    * Built as one scores array so each marker is evaluated exactly once —
+    * a WHEN-chain over `greatest(...)` duplicates every contains() into
+    * every branch and blows up the generated code. */
   def langId(textCol: Column): Column = {
     val padded = concat(lit(" "), lower(textCol), lit(" "))
-    val scored = LangMarkers.map { case (l, ms) => (l, langScore(padded, ms)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
-    }
+    val scores = array(LangMarkers.map { case (_, ms) => langScore(padded, ms) }: _*)
+    val langs = array(LangMarkers.map { case (l, _) => lit(l) }: _*)
+    val best = array_max(scores)
+    when(best > 0, element_at(langs, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Whitespace token count. */
