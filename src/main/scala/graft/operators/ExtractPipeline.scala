@@ -136,8 +136,11 @@ object ExtractPipeline {
                            numPartitions: Int = 0): Dataset[ExtractedDoc] = {
     val spark = ds.sparkSession
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val small = ds.filter(length(col("html")) <= bigPayloadBytes)
-    val big = ds.filter(length(col("html")) > bigPayloadBytes)
+    // coalesce: a null payload must stay on the small path (extractOne
+    // handles it as empty), not be dropped by a null predicate on both sides
+    val payloadLen = coalesce(length(col("html")), lit(0))
+    val small = ds.filter(payloadLen <= bigPayloadBytes)
+    val big = ds.filter(payloadLen > bigPayloadBytes)
     extractDocs(saltedRepartitionByUrl(small, parts), password)
       .unionByName(extractDocs(big.repartition(parts * 4, xxhash64(col("url"))), password))
   }

@@ -260,11 +260,15 @@ final case class PRef(parser: PdfParser, number: Int, generation: Int) extends P
     obj.value
   }
 
+  /** Go returns a nil slice when the target object is missing or has no
+    * stream, and every consumer treats nil as empty bytes (e.g. DumpFile
+    * writes the md5-of-empty entry, pdf/object.go:63-66) — so normalize to
+    * an empty array here rather than leaking null into the walk. */
   def resolveStream(): Array[Byte] = {
     val saved = parser.pos
     val obj = resolveIndirect(mutable.HashSet.empty[Int])
     parser.pos = saved
-    obj.stream
+    if (obj.stream == null) Array.emptyByteArray else obj.stream
   }
 
   private def resolveIndirect(seen: mutable.HashSet[Int]): IndirectObject = {

@@ -782,7 +782,10 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
     val e = indexOf("endstream".getBytes(ISO_8859_1), contentStart)
     var streamData: Array[Byte] = null
     if (e < 0) {
-      logError(PdfErrors.UnclosedStream)
+      // Go's copy loop breaks silently when EOF falls immediately after the
+      // stream keyword's EOL (the 9-byte window read fails before any parser
+      // read, parser.go:934-940) — only >=1-byte truncations log the error.
+      if (contentStart < len) logError(PdfErrors.UnclosedStream)
       streamData = java.util.Arrays.copyOfRange(data, contentStart, len)
       pos = len
     } else {

@@ -35,11 +35,15 @@ final class ParquetManifestTable(rootDir: String) extends TableIO {
 
   def committedBatches: Seq[String] =
     if (!exists) Seq.empty
-    else Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".committed"))
-      .map(_.stripSuffix(".committed"))
-      .toSeq.sorted
+    else {
+      val listing = Files.list(manifestDir)
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".committed"))
+        .map(_.stripSuffix(".committed"))
+        .toSeq.sorted
+      finally listing.close()
+    }
 
   /** Write staging parquet, atomic-rename into data/, then atomic-create the
     * manifest entry. The manifest entry is the commit point. */
@@ -52,10 +56,21 @@ final class ParquetManifestTable(rootDir: String) extends TableIO {
     val committed = dataDir.resolve(batchId)
     if (committedBatches.contains(batchId)) return // idempotent re-commit
     df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    // a writer that died between the data-dir move and the manifest move
+    // leaves an orphaned (uncommitted, invisible to readers) data dir; a
+    // retried commit must be able to replace it, not fail forever
+    if (Files.exists(committed)) deleteRecursively(committed)
     Files.move(staged, committed, StandardCopyOption.ATOMIC_MOVE)
     val tmp = manifestDir.resolve(batchId + ".tmp")
     Files.writeString(tmp, batchId)
     Files.move(tmp, manifestDir.resolve(batchId + ".committed"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
   }
 
   def read(spark: SparkSession): DataFrame = {

@@ -98,6 +98,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.read(spark).select("url").distinct().count() == 30)
   }
 
+  test("skew-aware extraction keeps null-payload rows on the small path") {
+    import spark.implicits._
+    val withNull = corpus(10).map(r =>
+      if (r.url.split("/")(3).toLong == 1L) r.copy(html = null) else r)
+    val docs = ExtractPipeline.extractDocsSkewAware(withNull, bigPayloadBytes = 2000, numPartitions = 4)
+    assert(docs.count() == 10) // the null-html row is extracted (as empty), not dropped
+    assert(docs.select("url").distinct().count() == 10)
+  }
+
+  test("TableIO: a crash between data-dir move and manifest move is retryable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl2").toString
+    val table = new ParquetManifestTable(root)
+    val batch = ExtractPipeline.extractDocs(corpus(6)).toDF()
+
+    // simulate the crash window: data dir present, manifest entry absent
+    table.commit(batch, "batch-X")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_manifest/batch-X.committed"))
+    assert(table.committedBatches.isEmpty) // uncommitted by contract
+
+    // the retried commit must succeed (replace the orphaned data dir)
+    table.commit(batch, "batch-X")
+    assert(table.committedBatches == Seq("batch-X"))
+    assert(table.read(spark).count() == 6)
+  }
+
   test("streaming facade: AvailableNow ingestion commits atomic batches") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_in").toString

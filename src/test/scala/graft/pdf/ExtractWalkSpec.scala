@@ -171,6 +171,107 @@ class ExtractWalkSpec extends AnyFunSuite {
       "00000000000000000000000000000000:two.exe"))
   }
 
+  // --- nil-stream normalization: a ref to a missing or stream-less object
+  // resolves to Go's nil slice, which every consumer treats as empty bytes
+  // (reference.go:36-48; e.g. DumpFile writes the md5-of-empty manifest
+  // line). Previously these NPE'd and aborted the document. ---
+
+  private val Md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  test("XFA ref to a MISSING object dumps empty form.xml, document survives (nil stream == empty)") {
+    val r = parse(
+      """1 0 obj
+        |<</XFA 5 0 R>>
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.files) == Md5Empty + ":form.xml\n")
+    assert(r.embedded.map(e => (e.md5, e.name, e.data.length)) ==
+      Seq((Md5Empty, "form.xml", 0)))
+  }
+
+  test("XFA ref to a stream-less object dumps empty form.xml (object.go:62-64 + nil stream)") {
+    val r = parse(
+      """1 0 obj
+        |<</XFA 2 0 R>>
+        |endobj
+        |2 0 obj
+        |<</Type /NotAStream>>
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.files) == Md5Empty + ":form.xml\n")
+  }
+
+  test("EF /F ref to a missing object dumps the named file with md5-of-empty (file.go:23-30)") {
+    val r = parse(
+      """1 0 obj
+        |<</A <</S /Launch /F <</F (ghost.bin) /EF <</F 9 0 R>> >> >> >>
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.files) == Md5Empty + ":ghost.bin\n")
+    assert(r.embedded.map(e => (e.md5, e.name, e.data.length)) ==
+      Seq((Md5Empty, "ghost.bin", 0)))
+  }
+
+  test("JS ref to a missing object emits one empty javascript line (object.go:87-89 + nil stream)") {
+    val r = parse(
+      """1 0 obj
+        |<</OpenAction <</JS 9 0 R>> >>
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.javascript) == "\n")
+  }
+
+  test("Contents ref to a missing object extracts no text, document survives (page.go:22-26 + nil stream)") {
+    val r = parse(
+      """1 0 obj
+        |<</Pages 2 0 R>>
+        |endobj
+        |2 0 obj
+        |<</Type /Pages /Contents 9 0 R>>
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.contents) == "")
+  }
+
+  test("ToUnicode ref to a missing object: empty cmap, raw-byte decode (font.go:16-19 + nil stream)") {
+    val r = parse(
+      """1 0 obj
+        |<</Pages 2 0 R>>
+        |endobj
+        |2 0 obj
+        |<</Type /Pages /Resources <</Font <</F1 <</ToUnicode 9 0 R>> >> >> /Contents 3 0 R>>
+        |endobj
+        |3 0 obj
+        |<</Length 23>>
+        |stream
+        |BT /F1 1 Tf (Hi) Tj ET
+        |endstream
+        |endobj
+        |""".stripMargin)
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.contents) == "Hi\n")
+  }
+
+  // --- unclosed-stream error parity: Go's copy loop breaks silently when
+  // EOF falls immediately after the stream keyword's EOL (zero content
+  // bytes — the 9-byte window read fails before any parser read,
+  // parser.go:934-975); >=1-byte truncations do log the error. ---
+
+  test("stream with zero content bytes at EOF: NO unclosed-stream error (parser.go:937-940)") {
+    val r = parse("1 0 obj\n<</Length 1>>\nstream\n")
+    assert(!s(r.errors).contains("unclosed stream"))
+  }
+
+  test("stream truncated after >=1 content byte: unclosed-stream error logged (parser.go:966-971)") {
+    val r = parse("1 0 obj\n<</Length 1>>\nstream\nX")
+    assert(s(r.errors).linesIterator.count(_ == "unclosed stream") == 1)
+  }
+
   test("JS as stream reference (object.go:87-89)") {
     val r = parse(
       """1 0 obj
