@@ -77,7 +77,9 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated
     * jaccard (signature agreement ratio).
-    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. The rows entering
+    * dropDuplicates are identical per pair (est_jaccard is a function of
+    * the two signatures), so the result is deterministic under ties. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                       minJaccard: Double = 0.5): DataFrame = {
@@ -94,6 +96,24 @@ object Dedup {
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Banded-LSH candidate pairs (id_a < id_b) — the shared candidate
+    * generator for the exact-verified dedup operators. Only
+    * (band_idx, band_hash, id) triples cross the self-join exchange: 3
+    * bigints per (row, band), never signatures, shingles, or text. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           shingleWords: Int, k: Int, bands: Int): DataFrame = {
+    val banded = df.select(
+        col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -144,24 +164,37 @@ object Dedup {
 
   // ---------- n-gram Jaccard ----------
 
-  /** Exact n-gram Jaccard similarity for candidate pairs blocked on their
-    * minimum shingle hash (cheap blocking; exact verify). The set algebra
-    * runs on 64-bit shingle hashes, not shingle strings — identical jaccard
-    * up to hash collisions (~2^-64 per pair) at a fraction of the compare
-    * and shuffle cost. */
+  /** Exact n-gram Jaccard similarity over banded-LSH candidates.
+    *
+    * The set algebra runs on 64-bit shingle hashes, not shingle strings —
+    * identical jaccard up to hash collisions (~2^-64 per pair) at a
+    * fraction of the compare and shuffle cost.
+    *
+    * Scale shape (replaces the old single-min-shingle blocking, which put
+    * every document sharing one popular min-shingle into one quadratic
+    * block and shuffled full shingle arrays with the rows):
+    *  1. candidates from `minhashLshCandidates` — the self-join exchange
+    *     carries only (band_idx, band_hash, id) triples;
+    *  2. the (small) candidate pair set joins back to the per-id distinct
+    *     shingle-hash arrays (broadcast when candidates fit, one O(N) hash
+    *     join otherwise) and is verified with exact intersect/union.
+    *
+    * Recall for a pair at jaccard j is 1 - (1 - j^(k/bands))^bands
+    * (identical docs are always candidates); with the defaults k=64,
+    * bands=16 a j=0.9 pair is missed with probability 3.9e-8. For low
+    * thresholds raise `bands` or lower `k/bands`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleWords: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                        shingleWords: Int = 3, minJaccard: Double = 0.5,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands)
+    val hashes = df.select(col(idCol).as("id"),
       array_distinct(transform(wordShingles(col(textCol), shingleWords), s => xxhash64(s))).as("hashes"))
-      .withColumn("block", array_min(col("hashes")))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("hashes").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("hashes").as("sh_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
+    cand
+      .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .dropDuplicates("id_a", "id_b")
   }
 }

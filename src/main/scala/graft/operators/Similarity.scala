@@ -2,95 +2,142 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TopKFunctions.topKByScore
 
 /** Similarity search over an embedding column (array<float>): brute-force
-  * cosine top-k as the exact baseline, plus a deterministic random-hyperplane
-  * LSH bucketing as the 100 TB scale path (candidates shrink by the bucket
-  * factor before the exact re-rank). All scoring is native Catalyst
-  * expressions (zip_with/aggregate — no UDFs, zero extra serialization);
-  * the query side is broadcast so the corpus is scanned exactly once with
-  * no shuffle of the embedding vectors.
+  * cosine top-k as the exact baseline, plus multi-table random-hyperplane
+  * LSH as the 100 TB scale path. All scoring is native Catalyst expressions
+  * (zip_with/aggregate — no UDFs, zero extra serialization); the query side
+  * is broadcast so the corpus is scanned exactly once with no shuffle of
+  * the embedding vectors; per-query top-k is a bounded custom aggregate
+  * (graft.functions.TopKByScore) with map-side partial aggregation, so only
+  * queries x k x partitions rows ever cross an exchange — never the full
+  * scored set.
+  *
+  * Scoring arithmetic is pinned to an ordered double-precision fold over
+  * the double-cast vectors: bit-identical to DuckDB's
+  * `list_dot_product(CAST(v AS DOUBLE[]), ...)`, which is what makes the
+  * cosine queries oracle-checkable hash-exact.
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (native expression, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  /** dot(a, b): ordered left fold in double precision (native expression). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
+    * xxhash64 folded to [-0.5, 0.5). Same value on every executor/JVM. */
+  private def coeff(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(100000L)).cast("double") / lit(100000.0d)) - lit(0.5d)
+
+  /** nBits-bit random-hyperplane signature of a vector for hash table
+    * `table`: bit p is the sign of dot(vec, plane_{table*nBits+p}). Buckets
+    * collide for nearby directions (Charikar's cosine LSH; the multi-table
+    * scheme is the standard E2LSH construction: L independent tables, union
+    * of candidates). */
+  def hyperplaneSignature(vec: Column, nBits: Int, table: Int = 0): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), p => {
+        val plane = p + lit(table * nBits)
+        val d = aggregate(
+          zip_with(asDouble(vec), sequence(lit(0), size(vec) - 1), (x, i) => x * coeff(plane, i)),
+          lit(0.0d), (acc, v) => acc + v)
+        when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The L independent table signatures as one array (posexplode to
+    * (table_idx, bucket)). */
+  def signatures(vec: Column, nBits: Int, nTables: Int): Column =
+    array((0 until nTables).map(t => hyperplaneSignature(vec, nBits, t)): _*)
+
+  /** Bucket-occupancy sizing: nBits = ceil(log2(n / targetOccupancy)), so
+    * the expected bucket population stays ~constant as the corpus grows
+    * (10^9 rows / 2^20 buckets ~ 10^3 — in-bucket work stays linear). */
+  def occupancySizedBits(n: Long, targetOccupancy: Long = 1024L): Int =
+    math.max(1, math.ceil(math.log(math.max(n, 2L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
+
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("cos"))
+
   /** Exact brute-force top-k neighbors for each query id.
-    * queries is expected to be small: it is broadcast, so the plan is
-    * one corpus scan -> broadcast nested loop -> per-query top-k. */
+    * queries is expected to be small: it is broadcast, so the plan is one
+    * corpus scan -> broadcast nested loop -> bounded per-query top-k
+    * aggregate (no window over the N x Q scored set). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         cosine(col("vec"), col("query_vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    explodeTopK(
+      scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * splitmix64 folded to [-0.5, 0.5). Same value on every executor/JVM. */
-  private def coeff(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(100000L)).cast("double") / lit(100000.0d)) - lit(0.5d)
-
-  /** nBits-bit random-hyperplane signature of a vector: bit p is the sign of
-    * dot(vec, plane_p). Buckets collide for nearby directions (cosine LSH). */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nBits - 1)), p => {
-        val d = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * coeff(p, i)),
-          lit(0.0d), (acc, v) => acc + v)
-        when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc + x)
-
-  /** LSH-bucketed approximate top-k: candidates restricted to the query's
-    * bucket (same nBits signature), then exact cosine re-rank. At corpus
-    * scale the bucket join shuffles only (id, bucket) pairs plus the
-    * in-bucket vectors, never the full cross product. */
+  /** Multi-table LSH approximate top-k: the corpus is scanned once; each row
+    * emits its L (table, bucket) keys and joins the broadcast queries on
+    * them; matches are scored exactly and fed to the bounded top-k
+    * aggregate (which collapses the same neighbor found in several tables —
+    * identical (score, id) entries dedup inside the buffer).
+    *
+    * Scale shape: no corpus shuffle (broadcast join), candidate volume
+    * ~ L x occupancy per query, and only Q x k x partitions aggregate rows
+    * cross the exchange. Size nBits with `occupancySizedBits(n)` so
+    * E[bucket] stays constant as n grows; raise nTables for recall
+    * (P[miss] = (1 - p^nBits)^nTables for per-plane collision prob p). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              idCol: String, vecCol: String, k: Int,
+              nBits: Int = 16, nTables: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+        posexplode(signatures(col(vecCol), nBits, nTables)).as(Seq("table_idx", "bucket")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+        posexplode(signatures(col(vecCol), nBits, nTables)).as(Seq("table_idx", "bucket")))
+    val scored = c.join(broadcast(q), Seq("table_idx", "bucket"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         cosine(col("vec"), col("query_vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    explodeTopK(
+      scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= minCos),
-    * LSH-blocked then exactly verified. */
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= minCos):
+    * multi-table LSH candidates, exactly verified.
+    *
+    * Scale shape: only (id, table, bucket) triples cross the candidate
+    * exchange — L x 16 bytes per row, never the vectors; the verify stage
+    * joins the (small) candidate set back to the vector table by id
+    * (broadcast when candidates fit, one O(N) hash join otherwise).
+    * Recall for a pair at cosine c: 1 - (1 - p^nBits)^nTables with
+    * p = 1 - acos(c)/pi; identical vectors collide in every table. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            minCos: Double = 0.95, nBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+                            minCos: Double = 0.95,
+                            nBits: Int = 16, nTables: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val buckets = base.select(col("id"),
+      posexplode(signatures(col("vec"), nBits, nTables)).as(Seq("table_idx", "bucket")))
+    val a = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
+    val b = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= minCos)
-      .dropDuplicates("id_a", "id_b")
   }
 }

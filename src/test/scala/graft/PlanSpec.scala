@@ -71,6 +71,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("ngram jaccard: no exchange ever carries the shingle arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9)
+    // pre-AQE physical plan: every shuffle's payload is compact keys
+    // (band hashes, ids, jaccard) — the distinct-shingle-hash arrays reach
+    // the verify join via broadcast/local join-back, never an exchange
+    val shuffles = pairs.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "hashes" || n.startsWith("sh_") || n == "text"),
+        s"shuffle carries ${names.mkString(",")}")
+    }
+  }
+
+  test("ann top-k: bounded aggregate, not a window over the scored set") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val windows = topk.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, "top-k must not sort the full scored set in a window")
+    assert(topk.queryExecution.sparkPlan.toString.contains("topk_by_score"))
+  }
+
+  test("embedding near-dup: candidate exchanges carry ids and buckets, never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.999, nBits = 2, nTables = 4)
+    val shuffles = pairs.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n.startsWith("vec") && n != "vec_id" || n == "embedding"),
+        s"shuffle carries ${names.mkString(",")}")
+    }
+  }
+
   test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),
