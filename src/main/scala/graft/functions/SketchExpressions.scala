@@ -103,6 +103,27 @@ object SketchKernel {
     }
     sig
   }
+
+  /** 64-bit rolling document fingerprint: the ordered hash-chain fold of
+    * token hashes, bit-identical to the declarative
+    * aggregate(transform(split(text,' '), xxhash64), FNV_OFFSET,
+    * (acc, h) => xxhash64(acc, h)) — the two-arg xxhash64 folds its long
+    * children as hashLong(child, runningHash) starting from seed 42. */
+  def fingerprint64(s: UTF8String): Long = {
+    val n = s.numBytes
+    var acc = 1469598103934665603L // FNV-1a 64 offset basis, as a tag
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == ' ') {
+        val h = hashRange(s, tokStart, i - tokStart)
+        acc = XXH64.hashLong(h, XXH64.hashLong(acc, Seed))
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -133,6 +154,19 @@ case class MinHashSig(child: Expression, shingleWords: Int, k: Int) extends Unar
   override def prettyName: String = "minhash_sig"
 }
 
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"fingerprint64 requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.fingerprint64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.fingerprint64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 = copy(child = newChild)
+  override def prettyName: String = "fingerprint64"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   /** DataFrame-API handles for the native sketch expressions. */
@@ -140,4 +174,6 @@ object SketchFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minhashSig(c: Column, shingleWords: Int, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingleWords, k))
+  def fingerprint64(c: Column): Column =
+    ColumnBridge.column(Fingerprint64(ColumnBridge.expression(c)))
 }

@@ -35,7 +35,13 @@ final case class ExtractedDoc(
     n_objects: Long,
     n_streams: Long,
     n_filters: Long,
-    n_errors: Long
+    n_errors: Long,
+    /** The reference's seventh sink, raw.pdf (pdf/output.go:12-21): the
+      * re-serialized object stream for PDFs, the original payload for HTML.
+      * Opt-in (null under the default `includeRaw = false`) — carrying it
+      * roughly doubles the output volume of a 100 TB run, and `raw_md5` /
+      * `raw_size` already pin its identity. */
+    raw: Array[Byte]
 )
 
 /** The corpus-level extraction pipeline: the reference's
@@ -75,7 +81,8 @@ object ExtractPipeline {
   def extractOne(row: CrawlRow, password: String): ExtractedDoc =
     extractOne(row, password, new HtmlExtract.Scratch)
 
-  def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch): ExtractedDoc = {
+  def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch,
+                 includeRaw: Boolean = false): ExtractedDoc = {
     val payload = if (row.html == null) Array.emptyByteArray else row.html
     if (isPdf(row.url, payload)) {
       val r = PdfExtract.parse(payload, password)
@@ -96,7 +103,8 @@ object ExtractPipeline {
         n_objects = r.nObjects,
         n_streams = r.nStreams,
         n_filters = r.filtersApplied.valuesIterator.sum,
-        n_errors = splitLines(r.errors).size.toLong)
+        n_errors = splitLines(r.errors).size.toLong,
+        raw = if (includeRaw) r.raw else null)
     } else {
       val contents = HtmlExtract.extractBytes(payload, scratch)
       ExtractedDoc(
@@ -107,17 +115,36 @@ object ExtractPipeline {
         errors = Seq.empty, embedded_md5 = Seq.empty, embedded_name = Seq.empty,
         raw_md5 = md5hex(payload), raw_size = payload.length.toLong,
         ok = true, failure = null,
-        n_objects = 0L, n_streams = 0L, n_filters = 0L, n_errors = 0L)
+        n_objects = 0L, n_streams = 0L, n_filters = 0L, n_errors = 0L,
+        raw = if (includeRaw) payload else null)
     }
   }
 
   /** The flagship transform: one ExtractedDoc per CrawlRow, shuffle-free.
-    * Equivalent of one `pdf.Parse` call per document (pdf/pdf.go:8). */
-  def extractDocs(ds: Dataset[CrawlRow], password: String = ""): Dataset[ExtractedDoc] = {
+    * Equivalent of one `pdf.Parse` call per document (pdf/pdf.go:8).
+    * `includeRaw = true` materializes the reference's raw.pdf sink as a
+    * binary column (off by default — see ExtractedDoc.raw). */
+  def extractDocs(ds: Dataset[CrawlRow], password: String = "",
+                  includeRaw: Boolean = false): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val scratch = new HtmlExtract.Scratch // one per task
-      it.map(row => extractOne(row, password, scratch))
+      it.map(row => extractOne(row, password, scratch, includeRaw))
+    }
+  }
+
+  /** Per-document password variant: the reference takes `-p` per invocation
+    * (main.go:30-36); at corpus scale the password rides with the row. A
+    * null password falls back to the corpus-wide default. */
+  def extractDocsWithPasswords(ds: Dataset[(CrawlRow, String)],
+                               defaultPassword: String = "",
+                               includeRaw: Boolean = false): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val scratch = new HtmlExtract.Scratch
+      it.map { case (row, pw) =>
+        extractOne(row, if (pw == null) defaultPassword else pw, scratch, includeRaw)
+      }
     }
   }
 

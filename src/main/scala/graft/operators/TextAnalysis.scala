@@ -75,10 +75,38 @@ object TextAnalysis {
   }
 
   /** 64-bit rolling document fingerprint: ordered hash-chain fold of token
-    * hashes (order-sensitive; ANSI-safe — no overflowing arithmetic). */
+    * hashes (order-sensitive). Native codegen'd expression; bit-identical to
+    * `fingerprintDeclarative` (asserted in SketchExpressionsSpec). */
   def fingerprint(textCol: Column): Column =
+    graft.functions.SketchFunctions.fingerprint64(textCol)
+
+  /** The declarative (interpreted-HOF) formulation the native expression is
+    * verified against. ANSI-safe — no overflowing arithmetic. */
+  def fingerprintDeclarative(textCol: Column): Column =
     aggregate(transform(split(textCol, " "), t => xxhash64(t)),
       lit(1469598103934665603L), (acc, h) => xxhash64(acc, h))
+
+  /** Greedy token-budget packing, two-level: each language is salted into
+    * `shards` deterministic sub-shards packed independently, and local pack
+    * ids are interleaved (pack_id = local * shards + shard) so they stay
+    * globally unique. The single-window formulation (SparkEntry q35)
+    * serializes a giant language shard into ONE partition's window sort at
+    * corpus scale; here the sort parallelism is langs x shards while packing
+    * quality is unchanged (any greedy sequential packing is equally valid —
+    * at most `shards` extra partially-filled tail packs per language). */
+  def packTokensSharded(df: DataFrame, langCol: String, idCol: String,
+                        textCol: String, budget: Int = 512, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(xxhash64(col(idCol)), lit(shards))
+    val w = Window.partitionBy(col(langCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(langCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - lit(1)) / lit(budget)).cast("long") * shards + col("shard"))
+      .drop("shard")
+  }
 
   /** Convenience: the documents table with all analysis columns attached. */
   def analyze(df: DataFrame, textCol: String): DataFrame =

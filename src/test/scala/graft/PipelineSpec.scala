@@ -98,6 +98,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.read(spark).select("url").distinct().count() == 30)
   }
 
+  test("includeRaw materializes the reference's raw sink; md5(raw) == raw_md5") {
+    import spark.implicits._
+    val docs = ExtractPipeline.extractDocs(corpus(20), includeRaw = true).collect()
+    assert(docs.length == 20)
+    docs.foreach { d =>
+      assert(d.raw != null, d.url)
+      val m = graft.pdf.Crypto.md5(d.raw).map(b => f"$b%02x").mkString
+      assert(m == d.raw_md5, d.url)
+      assert(d.raw.length.toLong == d.raw_size, d.url)
+    }
+    // default stays slim: no raw payload column materialized
+    val slim = ExtractPipeline.extractDocs(corpus(4)).collect()
+    slim.foreach(d => assert(d.raw == null, d.url))
+  }
+
+  test("per-document passwords: each row decrypts (or fails) with its own password") {
+    import spark.implicits._
+    val enc = graft.pdf.Fixtures.bytes("encrypted.pdf")
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      (graft.sources.CrawlRow("test://a/encrypted.pdf", ts, enc, "", "en"), null.asInstanceOf[String]),
+      (graft.sources.CrawlRow("test://b/encrypted.pdf", ts, enc, "", "en"), "wrong"))
+    val out = ExtractPipeline.extractDocsWithPasswords(rows.toDS(), defaultPassword = "")
+      .collect().sortBy(_.url)
+    assert(out(0).ok, String.valueOf(out(0).failure)) // null password -> corpus default "" decrypts
+    assert(!out(1).ok && out(1).failure == "incorrect password")
+  }
+
   test("skew-aware extraction keeps null-payload rows on the small path") {
     import spark.implicits._
     val withNull = corpus(10).map(r =>

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Sharded token packing: the corpus-scale variant of q35's per-language
+  * window — packing invariants must hold per (lang, pack) regardless of the
+  * salt fan-out. */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("packTokensSharded: complete, unique ids, budget respected per pack") {
+    val budget = 512
+    val packed = TextAnalysis.packTokensSharded(docs, "lang", "doc_id", "text",
+      budget = budget, shards = 8).cache()
+
+    // every document lands in exactly one pack
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+
+    // cumulative-range packing (same semantics as q35): a pack covers one
+    // budget-sized cumulative window, so its sum can overshoot only by its
+    // first (boundary-straddling) document: sum < budget + max_doc_tokens
+    val packs = packed.groupBy(col("lang"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("n"),
+        max(col("n_tokens")).as("max_tok"))
+      .collect()
+    packs.foreach { p =>
+      val tok = p.getAs[Long]("tok")
+      assert(tok < budget + p.getAs[Int]("max_tok"), s"pack over budget: $p")
+    }
+
+    // interleaved pack ids are globally unique across shards within a lang
+    val dupPacks = packed.select("lang", "pack_id").distinct().count()
+    assert(dupPacks == packs.length)
+    packed.unpersist()
+  }
+
+  test("packTokensSharded is deterministic across partitionings") {
+    def fp(parts: Int) =
+      TextAnalysis.packTokensSharded(docs.repartition(parts), "lang", "doc_id", "text")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toSeq
+    assert(fp(2) == fp(9))
+  }
+}

@@ -25,6 +25,13 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native fingerprint64 == declarative hash-chain fold on all documents") {
+    val cmp = docs.select(
+      graft.operators.TextAnalysis.fingerprintDeclarative(col("text")).as("a"),
+      SketchFunctions.fingerprint64(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+  }
+
   test("edge cases: empty text, single token, consecutive spaces") {
     import spark.implicits._
     val edge = Seq("", "word", "a  b", " lead", "trail ", "a b c d e").toDF("text")
@@ -32,11 +39,14 @@ class SketchExpressionsSpec extends AnyFunSuite {
       Dedup.simhashDeclarative(col("text")).as("a"),
       SketchFunctions.simhash64(col("text")).as("b"),
       Dedup.minhashSignatureDeclarative(Dedup.wordShingles(col("text"), 3), 16).as("ma"),
-      SketchFunctions.minhashSig(col("text"), 3, 16).as("mb"))
+      SketchFunctions.minhashSig(col("text"), 3, 16).as("mb"),
+      graft.operators.TextAnalysis.fingerprintDeclarative(col("text")).as("fa"),
+      SketchFunctions.fingerprint64(col("text")).as("fb"))
     val rows = cmp.collect()
     rows.foreach { r =>
       assert(r.getLong(0) == r.getLong(1), r)
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), r)
+      assert(r.getLong(4) == r.getLong(5), r)
     }
   }
 }
