@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native random-hyperplane LSH signatures.
+  *
+  * Computes the identical values to the declarative formulation in
+  * graft.operators.Similarity (coeff(plane, dim) = pmod(xxhash64(plane,
+  * dim), 1e5)/1e5 - 0.5 over int children, ordered double fold, bit p of
+  * table t set iff dot(vec, plane_{t*nBits+p}) >= 0 — asserted in
+  * LshExpressionsSpec), but in a tight JIT'd loop over a per-(shape)
+  * memoized coefficient matrix instead of nTables x nBits x dim interpreted
+  * expression evaluations per row.
+  */
+object LshKernel {
+  private val Seed = 42L
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
+
+  /** coeffs(plane)(dim): deterministic on every JVM — xxhash64 of the two
+    * int literals exactly as the builtin xxhash64(plane, dim) folds them. */
+  def coeffs(nBits: Int, nTables: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nBits, nTables, dim), _ => {
+      val nPlanes = nBits * nTables
+      Array.tabulate(nPlanes, dim) { (plane, d) =>
+        val h = XXH64.hashInt(d, XXH64.hashInt(plane, Seed))
+        ((h % 100000L + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+      }
+    })
+
+  /** nTables signatures of nBits bits each, float or double input vector. */
+  def signatures(vec: ArrayData, nBits: Int, nTables: Int, isFloat: Boolean): Array[Long] = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      v(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      d += 1
+    }
+    val cs = coeffs(nBits, nTables, dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var p = 0
+      while (p < nBits) {
+        val c = cs(t * nBits + p)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i) * c(i); i += 1 }
+        if (dot >= 0) sig += (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+}
+
+case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs requires array<float|double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      LshKernel.signatures(input.asInstanceOf[ArrayData], nBits, nTables, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.LshKernel.signatures($c, $nBits, $nTables, $isFloat))")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
+object LshFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def hyperplaneSigs(vec: Column, nBits: Int, nTables: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(vec), nBits, nTables))
+}

@@ -42,7 +42,9 @@ object Similarity {
     * `table`: bit p is the sign of dot(vec, plane_{table*nBits+p}). Buckets
     * collide for nearby directions (Charikar's cosine LSH; the multi-table
     * scheme is the standard E2LSH construction: L independent tables, union
-    * of candidates). */
+    * of candidates). Declarative formulation — the hot path uses the native
+    * codegen'd HyperplaneSigs expression (bit-identical; see
+    * LshExpressionsSpec). */
   def hyperplaneSignature(vec: Column, nBits: Int, table: Int = 0): Column =
     aggregate(
       transform(sequence(lit(0), lit(nBits - 1)), p => {
@@ -55,8 +57,13 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
 
   /** The L independent table signatures as one array (posexplode to
-    * (table_idx, bucket)). */
+    * (table_idx, bucket)) — native expression with a memoized per-shape
+    * coefficient matrix. */
   def signatures(vec: Column, nBits: Int, nTables: Int): Column =
+    graft.functions.LshFunctions.hyperplaneSigs(vec, nBits, nTables)
+
+  /** The interpreted-HOF formulation `signatures` is verified against. */
+  def signaturesDeclarative(vec: Column, nBits: Int, nTables: Int): Column =
     array((0 until nTables).map(t => hyperplaneSignature(vec, nBits, t)): _*)
 
   /** Bucket-occupancy sizing: nBits = ceil(log2(n / targetOccupancy)), so

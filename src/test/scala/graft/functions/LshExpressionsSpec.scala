@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+/** Parity: the native hyperplane-signature expression must equal the
+  * declarative HOF formulation bit-for-bit on real embeddings. */
+class LshExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("native hyperplane_sigs == declarative signatures on all embeddings") {
+    for ((nBits, nTables) <- Seq((1, 4), (4, 2), (16, 8))) {
+      val cmp = emb.select(
+        Similarity.signaturesDeclarative(col("embedding"), nBits, nTables).as("a"),
+        Similarity.signatures(col("embedding"), nBits, nTables).as("b"))
+      assert(cmp.where(col("a") =!= col("b")).count() == 0, s"nBits=$nBits nTables=$nTables")
+    }
+  }
+
+  test("double-typed vectors take the non-float path and agree too") {
+    val d = emb.select(col("embedding").cast("array<double>").as("v"))
+    val cmp = d.select(
+      Similarity.signaturesDeclarative(col("v"), 8, 2).as("a"),
+      Similarity.signatures(col("v"), 8, 2).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("plan stays native: no ScalaUDF, batched scan") {
+    val p = emb.select(Similarity.signatures(col("embedding"), 8, 4).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(1500))
+    assert(p.contains("hyperplane_sigs"), p.take(1500))
+  }
+}
