@@ -201,12 +201,13 @@ object SparkEntry {
           floor(col("jaccard") * 10000).cast("long").as("jaccard_i4"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // occupancy-sized LSH: nBits = ceil(log2(n/1024)) keeps E[bucket] ~1k
-    // rows at any corpus size (degrades to few-bucket near-brute-force at
-    // this sf, becomes 2^20 buckets at 10^9 rows); 4 tables for recall
+    // occupancy-sized LSH: pair mining is quadratic in bucket occupancy, so
+    // size for E[bucket] ~32 (2^25 buckets at 10^9 rows); 4 tables for
+    // recall (miss p at cos 0.9999 = (1-0.9955^nBits)^4; identical vectors
+    // collide in every table)
     "q20_embedding_neardup" -> ((s, dir) => {
       val emb = embWithDups(s, dir)
-      val nBits = Similarity.occupancySizedBits(emb.count())
+      val nBits = Similarity.occupancySizedBits(emb.count(), targetOccupancy = 32)
       Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
           minCos = 0.9999, nBits = nBits, nTables = 4)
         .select(col("id_a"), col("id_b"),

@@ -62,6 +62,59 @@ object LshKernel {
   }
 }
 
+object CosineKernel {
+  /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), every dot an
+    * ordered double-precision left fold — bit-identical to the declarative
+    * zip_with/aggregate formulation AND to DuckDB's list_dot_product over
+    * DOUBLE[] (the oracle contract). */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float|double> inputs, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.cosine(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineKernel.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
 case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int) extends UnaryExpression {
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -94,4 +147,6 @@ object LshFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def hyperplaneSigs(vec: Column, nBits: Int, nTables: Int): Column =
     ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(vec), nBits, nTables))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

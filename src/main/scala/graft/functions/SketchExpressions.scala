@@ -104,6 +104,38 @@ object SketchKernel {
     sig
   }
 
+  /** Distinct 64-bit shingle hashes in first-occurrence order —
+    * bit-identical to array_distinct(transform(wordShingles(text, n),
+    * xxhash64)): same zero-copy byte-range hashing as minhashSignature
+    * (a shingle of n tokens joined by single spaces IS the source range). */
+  def shingleHashes(s: UTF8String, shingleWords: Int): Array[Long] = {
+    val n = s.numBytes
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (s.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = n + 1
+
+    if (nTokens < shingleWords) return Array(hashRange(s, 0, n))
+
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nTokens - shingleWords + 1)
+    var m = 0
+    var a = 0
+    while (a + shingleWords <= nTokens) {
+      val h = hashRange(s, starts(a), starts(a + shingleWords) - 1 - starts(a))
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      a += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** 64-bit rolling document fingerprint: the ordered hash-chain fold of
     * token hashes, bit-identical to the declarative
     * aggregate(transform(split(text,' '), xxhash64), FNV_OFFSET,
@@ -154,6 +186,21 @@ case class MinHashSig(child: Expression, shingleWords: Int, k: Int) extends Unar
   override def prettyName: String = "minhash_sig"
 }
 
+case class ShingleHashes(child: Expression, shingleWords: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernel.shingleHashes(input.asInstanceOf[UTF8String], shingleWords))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SketchKernel.shingleHashes($c, $shingleWords))")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes = copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -176,4 +223,6 @@ object SketchFunctions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingleWords, k))
   def fingerprint64(c: Column): Column =
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(c)))
+  def shingleHashes(c: Column, shingleWords: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), shingleWords))
 }

@@ -188,7 +188,7 @@ object Dedup {
                         k: Int = 64, bands: Int = 16): DataFrame = {
     val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands)
     val hashes = df.select(col(idCol).as("id"),
-      array_distinct(transform(wordShingles(col(textCol), shingleWords), s => xxhash64(s))).as("hashes"))
+      graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes"))
     cand
       .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))

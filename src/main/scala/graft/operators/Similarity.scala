@@ -23,14 +23,20 @@ object Similarity {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** dot(a, b): ordered left fold in double precision (native expression). */
+  /** dot(a, b): ordered left fold in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0d), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Native codegen'd cosine — bit-identical to `cosineDeclarative`
+    * (LshExpressionsSpec) and to the DuckDB oracle arithmetic. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.LshFunctions.cosineSim(a, b)
+
+  /** The interpreted-HOF formulation `cosine` is verified against. */
+  def cosineDeclarative(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
@@ -128,7 +134,12 @@ object Similarity {
     * joins the (small) candidate set back to the vector table by id
     * (broadcast when candidates fit, one O(N) hash join otherwise).
     * Recall for a pair at cosine c: 1 - (1 - p^nBits)^nTables with
-    * p = 1 - acos(c)/pi; identical vectors collide in every table. */
+    * p = 1 - acos(c)/pi; identical vectors collide in every table.
+    *
+    * Sizing: candidate-pair volume is L x buckets x occupancy^2/2, i.e.
+    * QUADRATIC in bucket occupancy — pair mining wants a small occupancy
+    * (`occupancySizedBits(n, 32)`), unlike top-k search where per-query
+    * candidate volume is only linear in occupancy. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double = 0.95,
                             nBits: Int = 16, nTables: Int = 4): DataFrame = {

@@ -39,7 +39,7 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val withDups = emb.unionByName(
       emb.where(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 100000L))
-    val nBits = Similarity.occupancySizedBits(withDups.count())
+    val nBits = Similarity.occupancySizedBits(withDups.count(), targetOccupancy = 32)
     val pairs = Similarity.embeddingNearDupPairs(withDups, "vec_id", "embedding",
         minCos = 0.9999, nBits = nBits, nTables = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -28,6 +28,18 @@ class LshExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native cosine_sim == declarative dot/norm cosine, bit for bit, float and double") {
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .where(col("ia") < col("ib") && col("ib") < 40)
+    val cmp = pairs.select(
+      Similarity.cosineDeclarative(col("a"), col("b")).as("x"),
+      Similarity.cosine(col("a"), col("b")).as("y"),
+      Similarity.cosineDeclarative(col("a").cast("array<double>"), col("b")).as("xd"),
+      Similarity.cosine(col("a").cast("array<double>"), col("b")).as("yd"))
+    assert(cmp.where(col("x") =!= col("y") || col("xd") =!= col("yd")).count() == 0)
+  }
+
   test("plan stays native: no ScalaUDF, batched scan") {
     val p = emb.select(Similarity.signatures(col("embedding"), 8, 4).as("s"))
       .queryExecution.executedPlan.toString

@@ -25,6 +25,15 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native shingle_hashes == declarative distinct shingle xxhash64 on all documents") {
+    for (n <- Seq(2, 3, 5)) {
+      val cmp = docs.select(
+        array_distinct(transform(Dedup.wordShingles(col("text"), n), s => xxhash64(s))).as("a"),
+        SketchFunctions.shingleHashes(col("text"), n).as("b"))
+      assert(cmp.where(col("a") =!= col("b")).count() == 0, s"n=$n")
+    }
+  }
+
   test("native fingerprint64 == declarative hash-chain fold on all documents") {
     val cmp = docs.select(
       graft.operators.TextAnalysis.fingerprintDeclarative(col("text")).as("a"),
