@@ -310,12 +310,40 @@ final case class ParsedPdf(
 )
 
 object PdfExtract {
+  /** Goroutine stacks grow on demand, so the reference parses arbitrarily
+    * deep `[[[[...` / `<</A <</A ...` nestings; JVM thread stacks are fixed
+    * and the default executor stack overflows near depth ~4k (a 20 KB
+    * adversarial payload). Deep documents are retried once on a dedicated
+    * big-stack thread — rare path, identical deterministic result, per-doc
+    * isolation preserved. */
+  private val BigStackBytes: Long = 512L * 1024 * 1024
+
+  private def isStackOverflow(r: ParsedPdf): Boolean =
+    r.failure != null && r.failure.startsWith("internal: StackOverflowError")
+
+  private def parseOnBigStack(payload: Array[Byte], password: String): ParsedPdf = {
+    val out = new java.util.concurrent.atomic.AtomicReference[ParsedPdf]
+    val t = new Thread(null,
+      () => out.set(parseHere(payload, password)),
+      "graft-pdf-bigstack", BigStackBytes)
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    val r = out.get()
+    if (r != null) r else parseHere(Array.emptyByteArray, password)
+  }
+
   /** The corpus-facing equivalent of `pdf.Parse(path, password, outdir)`
     * (/root/reference/pdf/pdf.go:8-43), over an in-memory payload. Objects
     * are extracted in ascending object-number order (the reference iterates
     * a Go map, i.e. nondeterministically; sorted order is our documented
     * deterministic canonicalization). Never throws. */
   def parse(payload: Array[Byte], password: String = ""): ParsedPdf = {
+    val r = parseHere(payload, password)
+    if (isStackOverflow(r)) parseOnBigStack(payload, password) else r
+  }
+
+  private def parseHere(payload: Array[Byte], password: String): ParsedPdf = {
     val out = new DocSink
     var ok = true
     var failure: String = null

@@ -272,6 +272,15 @@ class ExtractWalkSpec extends AnyFunSuite {
     assert(s(r.errors).linesIterator.count(_ == "unclosed stream") == 1)
   }
 
+  test("deep nesting survives via the big-stack retry (Go growable-stack parity)") {
+    // default JVM thread stacks overflow near depth ~4k; Go's growable
+    // stacks parse these fine — the retry thread restores parity
+    val deepArray = parse("1 0 obj\n" + "[" * 20000 + "]" * 20000 + "\nendobj\n")
+    assert(deepArray.ok, String.valueOf(deepArray.failure))
+    val deepDict = parse("1 0 obj\n" + "<</A " * 8000 + "1" + ">>" * 8000 + "\nendobj\n")
+    assert(deepDict.ok, String.valueOf(deepDict.failure))
+  }
+
   test("JS as stream reference (object.go:87-89)") {
     val r = parse(
       """1 0 obj

@@ -1,0 +1,79 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import graft.sources.CrawlCorpus.splitmix64
+
+/** Deterministic mutation fuzz over every reference fixture plus crafted
+  * adversarial shapes. Contract (the corpus is hostile by definition):
+  * NO document ever produces failure=internal — per-document isolation
+  * must degrade to the reference's error channel, not to an engine
+  * exception — and every parse stays under the reference's own implicit
+  * per-document latency bound (unit_test.go's 1 s timeout pattern). */
+class FuzzSpec extends AnyFunSuite {
+
+  private def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
+    val kind = math.floorMod(splitmix64(seed), 6L).toInt
+    val b = base.clone()
+    def idx(k: Long): Int =
+      if (b.length == 0) 0 else math.floorMod(splitmix64(seed ^ k), b.length.toLong).toInt
+    kind match {
+      case 0 => java.util.Arrays.copyOfRange(b, 0, idx(1)) // truncate
+      case 1 => // flip 8 bits
+        var i = 0
+        while (i < 8) {
+          if (b.length > 0) {
+            val p = idx(10 + i)
+            b(p) = (b(p) ^ (1 << math.floorMod(splitmix64(seed ^ (20 + i)), 8L).toInt)).toByte
+          }
+          i += 1
+        }
+        b
+      case 2 => // overwrite a run
+        val s = idx(2); val e = math.min(b.length, s + 16)
+        java.util.Arrays.fill(b, s, e, 'A'.toByte); b
+      case 3 => // splice two fixtures
+        val other = Fixtures.all(math.floorMod(splitmix64(seed ^ 3), Fixtures.all.length.toLong).toInt)._2
+        java.util.Arrays.copyOfRange(b, 0, idx(4)) ++
+          java.util.Arrays.copyOfRange(other, idx(5).min(other.length - 1).max(0), other.length)
+      case 4 => // inject structural tokens
+        val tok = " 0 1 R stream endstream obj endobj << >> [ ] (".getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(6)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(6).min(b.length), b.length)
+      case _ => b.reverse
+    }
+  }
+
+  private def check(payload: Array[Byte], tag: String): Unit = {
+    val t0 = System.nanoTime()
+    val r = PdfExtract.parse(payload)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.failure == null || !r.failure.startsWith("internal:"), s"$tag -> ${r.failure}")
+    assert(ms < 1000, s"$tag took $ms ms")
+  }
+
+  test("mutation fuzz: 3600 fixture mutations, zero internal failures, all < 1 s") {
+    for (fi <- Fixtures.all.indices; s <- 0 until 100)
+      check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
+  }
+
+  test("random blobs with a pdf header never fail internally") {
+    for (s <- 0 until 500) {
+      val len = 64 + math.floorMod(splitmix64(s * 7L), 4096L).toInt
+      val b = Array.tabulate[Byte](len)(i => (splitmix64(s * 131L + i) & 0xff).toByte)
+      System.arraycopy("%PDF-1.7\n".getBytes(ISO_8859_1), 0, b, 0, math.min(9, len))
+      check(b, s"rand#$s")
+    }
+  }
+
+  test("adversarial shapes: reference webs, kid meshes, xfa floods") {
+    check((1 to 5000).map(i => s"$i 0 obj\n<</Next ${i + 1} 0 R /Pages ${i + 1} 0 R>>\nendobj\n")
+      .mkString.getBytes(ISO_8859_1), "ref-chain")
+    check(("1 0 obj\n<</Pages 2 0 R>>\nendobj\n2 0 obj\n<</Kids [" +
+      (3 to 2000).map(_ + " 0 R").mkString(" ") + "]>>\nendobj\n" +
+      (3 to 2000).map(i => s"$i 0 obj\n<</Kids [2 0 R]>>\nendobj\n").mkString)
+      .getBytes(ISO_8859_1), "kids-web")
+    check(("1 0 obj\n<</XFA [" + (1 to 30000).map(_ => "(x) 1 0 R").mkString(" ") + "]>>\nendobj\n")
+      .getBytes(ISO_8859_1), "xfa-flood")
+  }
+}
