@@ -106,7 +106,19 @@ object ExtractPipeline {
         n_errors = splitLines(r.errors).size.toLong,
         raw = if (includeRaw) r.raw else null)
     } else {
-      val contents = HtmlExtract.extractBytes(payload, scratch)
+      // per-document isolation, same contract as the pdf kernel: an
+      // extractor exception costs one failure ROW, never the Spark task
+      // (fuzz-clean today — FuzzSpec/HtmlExtractSpec — but at 10^12 docs
+      // "never throws" must be enforced, not assumed)
+      var contents = Array.emptyByteArray
+      var ok = true
+      var failure: String = null
+      try contents = HtmlExtract.extractBytes(payload, scratch)
+      catch {
+        case t: Throwable =>
+          ok = false
+          failure = "internal: " + t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)
+      }
       ExtractedDoc(
         url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "html",
         contents = contents,
@@ -114,7 +126,7 @@ object ExtractPipeline {
         urls = Seq.empty, files = Seq.empty, commands = Seq.empty,
         errors = Seq.empty, embedded_md5 = Seq.empty, embedded_name = Seq.empty,
         raw_md5 = md5hex(payload), raw_size = payload.length.toLong,
-        ok = true, failure = null,
+        ok = ok, failure = failure,
         n_objects = 0L, n_streams = 0L, n_filters = 0L, n_errors = 0L,
         raw = if (includeRaw) payload else null)
     }
