@@ -162,6 +162,54 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ---------- duplicate clusters ----------
+
+  /** Connected components over a near-duplicate pair set: every document
+    * gets the minimum doc id of its component as `cluster_id` (`is_kept`
+    * marks the representative). This is the step that turns pairwise
+    * near-dup evidence into an actual dedup decision — transitive closure,
+    * so A~B, B~C dedups C even when A!~C directly.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); converges in O(component
+    * diameter) rounds (near-dup clusters are dense, so 2-4 in practice).
+    * Each round is one shuffle join + partial-agg min, labels are
+    * localCheckpoint'ed so the plan stays O(1) deep, and convergence is
+    * detected by the (monotonically decreasing) label sum — no extra join.
+    * For adversarial long-chain graphs the published alternating
+    * large-star/small-star scheme (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) drops the round count to
+    * O(log^2 n); dedup graphs do not need it. */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    edges.count() // materialize once; reused every round
+
+    var labels = ids.select(col("id"), col("id").cast("long").as("label")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_kept"))
+  }
+
   // ---------- n-gram Jaccard ----------
 
   /** Exact n-gram Jaccard similarity over banded-LSH candidates.
