@@ -79,35 +79,60 @@ case class GraftText(left: Expression, right: Expression) extends BinaryExpressi
 
 /** Registration: either as session extensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
-  * on an existing session via `GraftFunctions.register(spark)`. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("pdf_text"),
-      new ExpressionInfo(classOf[PdfText].getName, "pdf_text"),
-      (args: Seq[Expression]) => PdfText(args.head)))
-    ext.injectFunction((FunctionIdentifier("html_text"),
-      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
-      (args: Seq[Expression]) => HtmlText(args.head)))
-    ext.injectFunction((FunctionIdentifier("graft_text"),
-      new ExpressionInfo(classOf[GraftText].getName, "graft_text"),
-      (args: Seq[Expression]) => GraftText(args(0), args(1))))
-  }
-}
+  * on an existing session via `GraftFunctions.register(spark)`. Covers the
+  * extraction kernel AND the sketch family, so every native expression in
+  * this library is reachable from plain SQL (q31 exercises the mechanism). */
+object GraftFunctionSet {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
 
-object GraftFunctions {
+  private def intLit(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer parameter, got $other")
+  }
+
   private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
-    require(args.length == n,
-      s"$name expects $n argument(s) (${if (n == 1) "binary payload" else "string url, binary payload"}), got ${args.length}")
+    require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
     args
   }
 
+  /** (name, builder) for every SQL-exposed native expression. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "pdf_text" -> (args => PdfText(arity("pdf_text", 1)(args).head)),
+    "html_text" -> (args => HtmlText(arity("html_text", 1)(args).head)),
+    "graft_text" -> (args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }),
+    "simhash64" -> (args => SimHash64(arity("simhash64", 1)(args).head)),
+    "fingerprint64" -> (args => Fingerprint64(arity("fingerprint64", 1)(args).head)),
+    "shingle_hashes" -> (args => {
+      val a = arity("shingle_hashes", 2)(args)
+      ShingleHashes(a(0), intLit("shingle_hashes", a(1)))
+    }),
+    "minhash_sig" -> (args => {
+      val a = arity("minhash_sig", 3)(args)
+      MinHashSig(a(0), intLit("minhash_sig", a(1)), intLit("minhash_sig", a(2)))
+    }),
+    "hyperplane_sigs" -> (args => {
+      val a = arity("hyperplane_sigs", 3)(args)
+      HyperplaneSigs(a(0), intLit("hyperplane_sigs", a(1)), intLit("hyperplane_sigs", a(2)))
+    }),
+    "cosine_sim" -> (args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionSet.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("pdf_text",
-      args => PdfText(arity("pdf_text", 1)(args).head), "built-in")
-    reg.createOrReplaceTempFunction("html_text",
-      args => HtmlText(arity("html_text", 1)(args).head), "built-in")
-    reg.createOrReplaceTempFunction("graft_text",
-      args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }, "built-in")
+    GraftFunctionSet.all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, args => builder(args), "built-in")
+    }
   }
 }

@@ -36,6 +36,31 @@ class ExtractExpressionsSpec extends AnyFunSuite {
     assert(h(0).getString(0) == "real content here")
   }
 
+  test("sketch family is SQL-reachable and equals the DataFrame API") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).createOrReplaceTempView("sql_docs")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).createOrReplaceTempView("sql_emb")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh, fingerprint64(text) AS fp,
+                minhash_sig(text, 3, 16) AS sig, shingle_hashes(text, 3) AS hs
+         FROM sql_docs ORDER BY doc_id""").collect()
+    import org.apache.spark.sql.functions.col
+    val viaApi = spark.table("sql_docs").select(col("doc_id"),
+        SketchFunctions.simhash64(col("text")).as("sh"),
+        SketchFunctions.fingerprint64(col("text")).as("fp"),
+        SketchFunctions.minhashSig(col("text"), 3, 16).as("sig"),
+        SketchFunctions.shingleHashes(col("text"), 3).as("hs"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq.map(_.toString) == viaApi.toSeq.map(_.toString))
+    val cos = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c,
+                hyperplane_sigs(a.embedding, 4, 2) AS sigs
+         FROM sql_emb a JOIN sql_emb b ON b.vec_id = 0 ORDER BY a.vec_id""").collect()
+    assert(cos.length == 50 && cos.forall(r => !r.isNullAt(1) && r.getSeq[Long](2).length == 2))
+  }
+
   test("null payload yields null, wrong type fails analysis") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT pdf_text(CAST(NULL AS BINARY)) AS t").collect()
