@@ -144,16 +144,36 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs within a hamming radius, using 16-bit
-    * chunk blocking (any pair at distance <= 3 shares one of 4 chunks) and
-    * bit_count verification. */
+    * chunk blocking (any pair at distance <= 3 shares one of 4 chunks —
+    * pigeonhole) and bit_count verification.
+    *
+    * Skew: on template-heavy corpora one chunk value can dominate (e.g. a
+    * boilerplate prefix fixing 16 simhash bits) and its block goes
+    * quadratic. `maxBlock > 0` applies the standard blocking-key frequency
+    * cap: (chunk_idx, chunk) blocks larger than maxBlock are dropped from
+    * the self-join. A pair is then missed only if EVERY chunk the two
+    * documents share is over-popular — exact duplicates additionally share
+    * all four chunks, so a cap of maxBlock still finds a pair unless all
+    * its shared chunks exceed the cap. AQE's skew-join split handles the
+    * residual partition-level imbalance; the cap bounds the pair COUNT,
+    * which no join strategy can. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftrightunsigned", col("sh"), c * 16).bitwiseAND(lit(0xffffL)))).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val blocked =
+      if (maxBlock <= 0) chunked
+      else {
+        val counts = chunked.groupBy(col("chunk_idx"), col("chunk"))
+          .agg(count(lit(1)).as("block_n"))
+          .where(col("block_n") <= maxBlock)
+          .select(col("chunk_idx"), col("chunk"))
+        chunked.join(counts, Seq("chunk_idx", "chunk"), "left_semi")
+      }
+    val a = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

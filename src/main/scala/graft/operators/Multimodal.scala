@@ -75,6 +75,43 @@ object Multimodal {
     }
   }
 
+  /** Batch-shaped decode plumbing: rows flow to the (stub) codec in
+    * fixed-size record batches — the shape a real Arrow-batched codec
+    * worker (mapInPandas / JavaCPP-FFmpeg) consumes, so swapping the stub
+    * for a real decoder changes one function, not the plan. Output is
+    * row-identical to `extractFeatures` for every batch size
+    * (MultimodalSpec). */
+  def extractFeaturesBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeStubBatch)
+    }
+  }
+
+  /** The batch entry point a real codec would implement (one upload/DMA or
+    * one Arrow RecordBatch per call). */
+  def decodeStubBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { row =>
+      val bytes = if (row.bytes == null) Array.emptyByteArray else row.bytes
+      val (w, h, frames, emb) = decodeStub(row.kind, bytes)
+      MediaFeatures(row.media_id, row.url, row.kind, bytes.length.toLong,
+        contentHash(bytes), w, h, frames, emb)
+    }
+
+  /** Resize plumbing (decode side stubbed): clamps target dims to the
+    * source aspect box and derives a deterministic fake resized-content
+    * hash — schema, pruning and determinism are the real parts. */
+  def resizeStub(features: Dataset[MediaFeatures], targetW: Int, targetH: Int): DataFrame = {
+    val scale = least(
+      lit(targetW.toDouble) / greatest(col("width"), lit(1)).cast("double"),
+      lit(targetH.toDouble) / greatest(col("height"), lit(1)).cast("double"))
+    features.toDF()
+      .withColumn("resized_w", greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("resized_h", greatest(floor(col("height") * scale), lit(1)).cast("int"))
+      .withColumn("resized_hash",
+        xxhash64(col("content_hash"), col("resized_w"), col("resized_h")))
+  }
+
   /** Deterministic synthetic media table (payload = hashed filler bytes). */
   def synthMedia(spark: org.apache.spark.sql.SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._

@@ -35,6 +35,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3) == 1)
   }
 
+  test("simhash frequency cap drops only over-popular blocks") {
+    // 60 docs sharing a template prefix (popular chunks) + 2 true dups
+    val docs = ((0 until 60).map(i => (i.toLong, s"shared template header words $i unique tail $i")) ++
+      Seq((100L, "totally distinct duplicate pair body text"),
+          (101L, "totally distinct duplicate pair body text")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxBlock = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-dup pair shares ALL four chunks; its block (size 2) is under
+    // the cap, so the cap must keep it while pruning template-block pairs
+    assert(uncapped.contains((100L, 101L)))
+    assert(capped.contains((100L, 101L)))
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("deterministic across partitionings") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L), (30L, 40L))
     val ids = Seq(10L, 20L, 30L, 40L, 50L, 60L)
