@@ -82,10 +82,10 @@ object ExtractPipeline {
     extractOne(row, password, new HtmlExtract.Scratch)
 
   def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch,
-                 includeRaw: Boolean = false): ExtractedDoc = {
+                 includeRaw: Boolean = false, objectStreams: Boolean = false): ExtractedDoc = {
     val payload = if (row.html == null) Array.emptyByteArray else row.html
     if (isPdf(row.url, payload)) {
-      val r = PdfExtract.parse(payload, password)
+      val r = PdfExtract.parse(payload, password, objectStreams)
       ExtractedDoc(
         url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "pdf",
         contents = r.contents,
@@ -135,13 +135,17 @@ object ExtractPipeline {
   /** The flagship transform: one ExtractedDoc per CrawlRow, shuffle-free.
     * Equivalent of one `pdf.Parse` call per document (pdf/pdf.go:8).
     * `includeRaw = true` materializes the reference's raw.pdf sink as a
-    * binary column (off by default — see ExtractedDoc.raw). */
+    * binary column (off by default — see ExtractedDoc.raw);
+    * `objectStreams = true` opts into /ObjStm (type-2) expansion (off by
+    * default: the reference resolves compressed objects to null and the
+    * byte-identity gate holds to that). */
   def extractDocs(ds: Dataset[CrawlRow], password: String = "",
-                  includeRaw: Boolean = false): Dataset[ExtractedDoc] = {
+                  includeRaw: Boolean = false,
+                  objectStreams: Boolean = false): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val scratch = new HtmlExtract.Scratch // one per task
-      it.map(row => extractOne(row, password, scratch, includeRaw))
+      it.map(row => extractOne(row, password, scratch, includeRaw, objectStreams))
     }
   }
 

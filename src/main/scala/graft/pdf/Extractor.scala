@@ -321,40 +321,49 @@ object PdfExtract {
   private def isStackOverflow(r: ParsedPdf): Boolean =
     r.failure != null && r.failure.startsWith("internal: StackOverflowError")
 
-  private def parseOnBigStack(payload: Array[Byte], password: String): ParsedPdf = {
+  private def parseOnBigStack(payload: Array[Byte], password: String,
+                              objectStreams: Boolean): ParsedPdf = {
     val out = new java.util.concurrent.atomic.AtomicReference[ParsedPdf]
     val t = new Thread(null,
-      () => out.set(parseHere(payload, password)),
+      () => out.set(parseHere(payload, password, objectStreams)),
       "graft-pdf-bigstack", BigStackBytes)
     t.setDaemon(true)
     t.start()
     t.join()
     val r = out.get()
-    if (r != null) r else parseHere(Array.emptyByteArray, password)
+    if (r != null) r else parseHere(Array.emptyByteArray, password, objectStreams)
   }
 
   /** The corpus-facing equivalent of `pdf.Parse(path, password, outdir)`
     * (/root/reference/pdf/pdf.go:8-43), over an in-memory payload. Objects
     * are extracted in ascending object-number order (the reference iterates
     * a Go map, i.e. nondeterministically; sorted order is our documented
-    * deterministic canonicalization). Never throws. */
-  def parse(payload: Array[Byte], password: String = ""): ParsedPdf = {
-    val r = parseHere(payload, password)
-    if (isStackOverflow(r)) parseOnBigStack(payload, password) else r
+    * deterministic canonicalization). Never throws.
+    *
+    * `objectStreams = true` opts into expanding compressed (type-2)
+    * objects out of /ObjStm containers — the reference resolves them to
+    * null, so this is OFF by default to keep the byte-identity gate. */
+  def parse(payload: Array[Byte], password: String = "",
+            objectStreams: Boolean = false): ParsedPdf = {
+    val r = parseHere(payload, password, objectStreams)
+    if (isStackOverflow(r)) parseOnBigStack(payload, password, objectStreams) else r
   }
 
-  private def parseHere(payload: Array[Byte], password: String): ParsedPdf = {
+  private def parseHere(payload: Array[Byte], password: String,
+                        objectStreams: Boolean = false): ParsedPdf = {
     val out = new DocSink
     var ok = true
     var failure: String = null
     var parser: PdfParser = null
     try {
       parser = new PdfParser(payload, out)
+      parser.expandObjectStreams = objectStreams
       val err = parser.load(password.getBytes(ISO_8859_1))
       if (err != null) { ok = false; failure = err }
       else {
         parser.xref.toSeq.sortBy(_._1).foreach { case (n, entry) =>
-          if (entry.xtype == XrefType.Indirect) {
+          if (entry.xtype == XrefType.Indirect ||
+              (objectStreams && entry.xtype == XrefType.Compressed)) {
             val obj = parser.getObject(n)
             Extractor.extractIndirect(obj, out)
             out.writeLine(out.raw, obj.str.getBytes(ISO_8859_1))

@@ -77,6 +77,20 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   // the document key exists, and those raw reads must not be reused after
   // decryption is armed.
   private var cachingEnabled = false
+
+  /** Opt-in object-stream (type-2) expansion — see the Compressed case in
+    * fetchObject. Default false = reference parity (compressed -> null). */
+  var expandObjectStreams: Boolean = false
+  private val compressedInProgress = mutable.HashSet.empty[Int]
+
+  /** The parser whose xref resolves references parsed here. A nested
+    * /ObjStm body parser reads bytes from the container stream but its
+    * objects' references point at the DOCUMENT's objects, so the outer
+    * parser sets itself here. Everywhere else the default (this parser)
+    * matches the reference: a stray `N G R` in a nested content-stream /
+    * cmap parser resolves against that nested parser's EMPTY xref and
+    * degrades to null, exactly as Go's nested NewParser does. */
+  private[pdf] var refParser: PdfParser = this
   private val objectCache = mutable.HashMap.empty[Int, (IndirectObject, Array[Byte])]
 
   private val len = data.length
@@ -497,6 +511,59 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
           obj.stream = readStream(streamDecryptor, filterList, decodeParmsList)
           nStreamsDecoded += 1
         }
+
+      // OPT-IN DIVERGENCE (off by default — reference parity): the
+      // reference resolves compressed (type-2) objects to null
+      // (parser.go:373-374 only handles XrefTypeIndirectObject), which
+      // loses most objects of post-1.5 PDFs. With `expandObjectStreams`
+      // the container /ObjStm is fetched through the normal (decoded,
+      // decrypted, memoized) path, its `N` (objnum, offset) header pairs
+      // are parsed, and the object body is read at /First + offset.
+      // Strings inside object streams are never encrypted (ISO 32000-1
+      // 7.5.7); embedded objects carry no stream and generation 0.
+      case Some(entry) if entry.xtype == XrefType.Compressed && expandObjectStreams =>
+        if (compressedInProgress.add(number)) {
+          try {
+            val containerNum = entry.offset.toInt
+            if (containerNum != number) {
+              val container = getObject(containerNum)
+              (container.value, container.stream) match {
+                case (d: PDict, stream) if stream != null =>
+                  val count = d.getInt("N").getOrElse(0)
+                  val first = d.getInt("First").getOrElse(0)
+                  val header = new PdfParser(stream, null) // nested parser: errors dropped
+                  val pairs = new Array[(Int, Long)](count)
+                  var i = 0
+                  var ok = true
+                  while (i < count && ok) {
+                    (header.readInt(), header.readInt64()) match {
+                      case (Some(objNum), Some(rel)) => pairs(i) = (objNum, rel)
+                      case _                         => ok = false
+                    }
+                    i += 1
+                  }
+                  if (ok) {
+                    val idx = entry.generation // type-2 "generation" = index in container
+                    val rel =
+                      if (idx >= 0 && idx < count && pairs(idx)._1 == number) Some(pairs(idx)._2)
+                      else pairs.find(p => p != null && p._1 == number).map(_._2)
+                    rel.foreach { r =>
+                      if (first.toLong + r >= 0 && first.toLong + r <= stream.length) {
+                        val body = new PdfParser(stream, null)
+                        body.refParser = this // its references are document refs
+                        body.seek(first.toLong + r)
+                        val (value, _) = body.readObject(NoDecryptor)
+                        obj.value = value
+                        obj.generation = 0
+                      }
+                    }
+                  }
+                case _ =>
+              }
+            }
+          } finally compressedInProgress.remove(number)
+        }
+
       case _ =>
     }
     obj
@@ -547,7 +614,7 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
             seek(offset)
             return (number, Sentinel.None)
           }
-          return (PRef(this, number.value.toInt, generation), Sentinel.None)
+          return (PRef(refParser, number.value.toInt, generation), Sentinel.None)
       }
     }
 
