@@ -35,6 +35,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3) == 1)
   }
 
+  test("simhashPairs == brute-force all-pairs hamming (pigeonhole: 4-chunk blocking is EXACT for radius 3)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+    val blocked = Dedup.simhashPairs(withDups, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = withDups.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sh"))
+    val brute = hashed.as("a").crossJoin(hashed.as("b"))
+      .where(col("a.id") < col("b.id") &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"missing=${brute diff blocked} extra=${blocked diff brute}")
+  }
+
   test("simhash frequency cap drops only over-popular blocks") {
     // 60 docs sharing a template prefix (popular chunks) + 2 true dups
     val docs = ((0 until 60).map(i => (i.toLong, s"shared template header words $i unique tail $i")) ++
