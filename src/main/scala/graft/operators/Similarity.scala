@@ -126,6 +126,132 @@ object Similarity {
       scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
   }
 
+  // ---------- IVF (inverted-file index, k-means coarse quantizer) ----------
+
+  /** Deterministic IVF centroid training: Lloyd iterations where the
+    * assignment runs map-local against broadcast (closure) centroids and
+    * the update accumulates INTEGER-scaled components (x * 2^20 rounded to
+    * long) — integer addition commutes exactly, so the trained centroids
+    * are bit-identical under any partitioning or executor count (a
+    * floating-point mean is not). Init: the nlist vectors with the
+    * smallest md5(id) — a deterministic, order-free sample.
+    *
+    * Scale shape per iteration: one corpus scan, map-local partial sums
+    * (nlist x dim longs per partition), one tiny shuffle of those
+    * partials; centroids (nlist x dim doubles) live on the driver and ship
+    * in the task closure. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val Scale = (1L << 20).toDouble
+
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec")).as[(Long, Seq[Double])]
+
+    var centroids: Array[Array[Double]] = vecs.toDF()
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist).as[(Long, Seq[Double])]
+      .collect().map(_._2.toArray)
+
+    for (_ <- 1 to iters) {
+      val cs = centroids
+      // per-partition integer-scaled partial sums per centroid
+      val partials = vecs.mapPartitions { it =>
+        val dim = cs(0).length
+        val sums = Array.ofDim[Long](cs.length, dim)
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val cid = nearestCentroid(v, cs)
+          var d = 0
+          while (d < dim) { sums(cid)(d) += math.round(v(d) * Scale); d += 1 }
+          counts(cid) += 1
+        }
+        (0 until cs.length).iterator
+          .filter(c => counts(c) > 0)
+          .map(c => (c, counts(c), sums(c).toSeq))
+      }
+      val merged = partials
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3.zip(b._3).map(t => t._1 + t._2)))
+        .map(_._2)
+        .collect()
+      val next = centroids.map(_.clone())
+      merged.foreach { case (cid, n, sums) =>
+        next(cid) = sums.map(s => s.toDouble / Scale / n).toArray
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** argmax over centroids of cosine(v, c) — deterministic ties to the
+    * lower centroid id. */
+  private def nearestCentroid(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      var dot = 0.0
+      var nc = 0.0
+      var nv = 0.0
+      var d = 0
+      val cv = cs(c)
+      val n = math.min(cv.length, v.length)
+      while (d < n) { dot += v(d) * cv(d); nc += cv(d) * cv(d); nv += v(d) * v(d); d += 1 }
+      val score = if (nc == 0 || nv == 0) Double.NegativeInfinity
+                  else dot / (math.sqrt(nc) * math.sqrt(nv))
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nprobe centroid ids nearest to v (cosine, deterministic order). */
+  private def probeLists(v: Seq[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] = {
+    val scored = cs.indices.map { c =>
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      val cv = cs(c)
+      val n = math.min(cv.length, v.length)
+      var d = 0
+      while (d < n) { dot += v(d) * cv(d); nc += cv(d) * cv(d); nv += v(d) * v(d); d += 1 }
+      (if (nc == 0 || nv == 0) Double.NegativeInfinity else dot / (math.sqrt(nc) * math.sqrt(nv)), c)
+    }
+    scored.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * (one map-local pass, closure-shipped centroids); each query probes its
+    * `nprobe` nearest lists; matches are scored exactly and reduced by the
+    * bounded top-k aggregate. Complements LSH: the index adapts to the
+    * data distribution (clustered corpora get balanced lists where fixed
+    * hyperplanes do not). Candidate volume per query ~ nprobe/nlist of the
+    * corpus; size nlist ~ sqrt(n) at scale and raise nprobe for recall. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cs = trainIvfCentroids(corpus, idCol, vecCol, nlist, trainIters)
+
+    val assigned = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec")).as[(Long, Seq[Double])]
+      .mapPartitions(it => it.map { case (id, v) => (nearestCentroid(v, cs), id, v) })
+      .toDF("cid", "id", "vec")
+
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec")).as[(Long, Seq[Double])]
+      .flatMap { case (qid, v) => probeLists(v, cs, nprobe).map(c => (c, qid, v)) }
+      .toDF("cid", "query_id", "query_vec")
+
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("vec"), col("query_vec")).as("cos"))
+    explodeTopK(
+      scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= minCos):
     * multi-table LSH candidates, exactly verified.
     *

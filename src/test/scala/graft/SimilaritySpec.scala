@@ -47,6 +47,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing: ${expected diff pairs}")
   }
 
+  test("IVF centroids are bit-identical under any partitioning (integer-scaled Lloyd)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def train(parts: Int) =
+      Similarity.trainIvfCentroids(emb.repartition(parts), "vec_id", "embedding", nlist = 8, iters = 3)
+        .map(_.toSeq).toSeq
+    assert(train(2) == train(13))
+  }
+
+  test("ivfTopK recall grows with nprobe; >= 0.9 at nprobe=12/16 on isotropic data") {
+    // the synthetic embeddings are near-uniform random — IVF's worst case
+    // (no cluster structure for the quantizer to exploit): recall measured
+    // 0.48-0.64 at nprobe/nlist=1/4 and 0.96 at 3/4. On clustered corpora
+    // the curve is far steeper; the spec pins the worst-case floor.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = nprobe)
+        .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r4 = recall(4)
+    val r12 = recall(12)
+    assert(r4 >= 0.4, s"recall@nprobe=4: $r4")
+    assert(r12 >= 0.9, s"recall@nprobe=12: $r12")
+    assert(r12 >= r4)
+  }
+
   test("cosine of a vector with itself is ~1 and symmetric in arguments") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
