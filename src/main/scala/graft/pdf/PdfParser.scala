@@ -78,6 +78,11 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   // decryption is armed.
   private var cachingEnabled = false
 
+  /** Mirrors Go's `parser.security_handler != nil`: set only after a
+    * successful /Encrypt init, so string/stream decryption and the /Crypt
+    * override never run on unencrypted documents (parser.go:385,424). */
+  private var securityActive = false
+
   /** Opt-in object-stream (type-2) expansion — see the Compressed case in
     * fetchObject. Default false = reference parity (compressed -> null). */
   var expandObjectStreams: Boolean = false
@@ -161,6 +166,7 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
       }
       val err = securityHandler.init(password, trailer)
       if (err != null) return err
+      securityActive = true // Go: parser.security_handler != nil from here on
     }
     cachingEnabled = !sys.props.contains("graft.nocache")
     null
@@ -467,7 +473,7 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
         readObjectHeader() // skip header, result ignored (parser.go:382)
 
         val stringFilter: CryptFilter =
-          if (entry.isEncrypted) securityHandler.stringFilter else NoFilter
+          if (securityActive && entry.isEncrypted) securityHandler.stringFilter else NoFilter
         val stringDecryptor = stringFilter.newDecryptor(number, obj.generation)
 
         val (value, _) = readObject(stringDecryptor)
@@ -492,8 +498,12 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
             }
           }
 
+          // Go gates the whole block on `security_handler != nil` too
+          // (parser.go:424): an UNENCRYPTED document with a /Crypt filter
+          // keeps it in the list (unknown-filter passthrough) rather than
+          // taking the override path
           var cryptFilter: CryptFilter = NoFilter
-          if (entry.isEncrypted) {
+          if (securityActive && entry.isEncrypted) {
             cryptFilter = securityHandler.streamFilter
             if (d.getName("Type").contains("EmbeddedFile"))
               cryptFilter = securityHandler.fileFilter

@@ -272,6 +272,25 @@ class ExtractWalkSpec extends AnyFunSuite {
     assert(s(r.errors).linesIterator.count(_ == "unclosed stream") == 1)
   }
 
+  test("unencrypted doc with /Crypt filter: no override, unknown-filter passthrough (parser.go:424 nil-handler gate)") {
+    // Go only takes the /Crypt override when a security handler exists; an
+    // unencrypted document keeps /Crypt in the filter list, where it passes
+    // through as an unknown filter and FlateDecode still applies
+    val deflater = new java.util.zip.Deflater()
+    val cs = "BT (Hello Crypt) Tj ET".getBytes(ISO_8859_1)
+    deflater.setInput(cs); deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    val flate = java.util.Arrays.copyOfRange(buf, 0, n)
+    val pre = ("1 0 obj\n<</Pages 2 0 R>>\nendobj\n" +
+      "2 0 obj\n<</Type /Pages /Contents 3 0 R>>\nendobj\n" +
+      s"3 0 obj\n<</Length ${flate.length} /Filter [/Crypt /FlateDecode] " +
+      "/DecodeParms [<</Name /Identity>> <<>>]>>\nstream\n").getBytes(ISO_8859_1)
+    val r = PdfExtract.parse(pre ++ flate ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    assert(r.ok, String.valueOf(r.failure))
+    assert(s(r.contents) == "Hello Crypt\n")
+  }
+
   test("deep nesting survives via the big-stack retry (Go growable-stack parity)") {
     // default JVM thread stacks overflow near depth ~4k; Go's growable
     // stacks parse these fine — the retry thread restores parity
