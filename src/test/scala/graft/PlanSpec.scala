@@ -107,6 +107,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions stay inside whole-stage codegen (starred project over the scan)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p1 = docs.select(
+        graft.functions.SketchFunctions.fingerprint64(col("text")),
+        graft.functions.SketchFunctions.simhash64(col("text")),
+        graft.functions.SketchFunctions.shingleHashes(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    // "*(n) Project [...]" = the project runs inside WholeStageCodegen
+    assert(p1.linesIterator.next().startsWith("*(1) Project [fingerprint64"), p1.take(400))
+    val p2 = emb.select(graft.functions.LshFunctions.hyperplaneSigs(col("embedding"), 8, 2),
+        graft.functions.LshFunctions.cosineSim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(p2.linesIterator.next().startsWith("*(1) Project [hyperplane_sigs"), p2.take(400))
+  }
+
   test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),
