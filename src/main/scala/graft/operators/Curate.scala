@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * library's operators — the shape a 100 TB pretraining-data run takes
+  * after extraction:
+  *
+  *  1. per-document analysis gate (map-local: quality score + language id),
+  *  2. exact dedup (shuffle on md5, keep min id),
+  *  3. near-dup dedup: banded-minhash candidates -> exact jaccard verify ->
+  *     connected components -> keep each cluster's min id,
+  *  4. greedy token-budget packing per language.
+  *
+  * Every stage is SQL-expressible, so the WHOLE pipeline is covered by one
+  * DuckDB oracle (q38) — hash-exact end to end. Shuffle inventory: md5
+  * grouping (2), band-hash self-join + candidate joins (3), CC label
+  * rounds (3, candidate-pair-sized), packing window (4). Stage 4 uses the
+  * per-language window for oracle portability; swap in
+  * `TextAnalysis.packTokensSharded` when one language dominates the corpus.
+  */
+object Curate {
+
+  /** quality_score_i4 exactly as TextAnalysis.qualityColumns emits it. */
+  private def qualityI4(textCol: Column): Column = {
+    val nChars = length(textCol)
+    val tokens = split(textCol, " ")
+    val nTokens = size(tokens)
+    val nonAlnum = length(regexp_replace(textCol, "[a-zA-Z0-9 ]", ""))
+    val nonAlnumRatio = nonAlnum.cast("double") / greatest(nChars, lit(1)).cast("double")
+    val stopHits = aggregate(
+      transform(tokens, t => when(lower(t).isin("the", "and", "of", "a", "to", "in", "is"), 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val stopRatio = stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val lenScore = least(nChars.cast("double") / lit(500.0d), lit(1.0d))
+    val score = (lenScore * lit(0.4d)) +
+      (least(stopRatio * lit(5.0d), lit(1.0d)) * lit(0.3d)) +
+      ((lit(1.0d) - least(nonAlnumRatio * lit(5.0d), lit(1.0d))) * lit(0.3d))
+    floor(score * 10000).cast("long")
+  }
+
+  /** Returns one row per SURVIVING document:
+    * (doc_id, detected_lang, n_tokens, cum_tokens, pack_id). */
+  def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             minQualityI4: Long = 2000, minJaccard: Double = 0.9,
+             shingleWords: Int = 3, packBudget: Int = 512): DataFrame = {
+    // 1. analysis gate — one map-local pass
+    val analyzed = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"),
+      TextAnalysis.langId(col(textCol)).as("detected_lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      qualityI4(col(textCol)).as("quality_i4"))
+    val gated = analyzed
+      .where(col("quality_i4") >= minQualityI4 && col("detected_lang") =!= "und")
+
+    // 2. exact dedup: keep the smallest id per distinct text
+    val keepExact = gated
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val uniq = gated.join(keepExact, Seq("doc_id"), "left_semi")
+
+    // 3. near-dup clusters: LSH candidates -> exact verify -> components
+    val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs, uniq.select(col("doc_id").as("id")))
+    val kept = uniq.join(
+      clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+
+    // 4. greedy token packing per language (cumulative-range semantics)
+    val w = Window.partitionBy(col("detected_lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(packBudget)).cast("long"))
+      .select(col("doc_id"), col("detected_lang"), col("n_tokens"),
+        col("cum_tokens"), col("pack_id"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curate
+
+/** End-to-end curation pipeline invariants (the per-value exactness is the
+  * q38 DuckDB oracle's job; these pin the set-level contracts). */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("survivors are a subset with no duplicate texts and no near-dup cluster siblings") {
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+    val out = Curate.curate(withDups).cache()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(out.count() < withDups.count()) // the gates actually gate
+    assert(ids.forall(_ < 100000L)) // every injected exact dup lost to its original
+    // no two survivors share a text
+    val joined = out.join(withDups, Seq("doc_id"))
+    assert(joined.select("text").distinct().count() == out.count())
+    out.unpersist()
+  }
+
+  test("packing is per-language monotone with budget-sized pack ids") {
+    val out = Curate.curate(docs, packBudget = 256)
+      .orderBy("detected_lang", "doc_id").collect()
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var prevCum = 0L
+      rows.foreach { r =>
+        val cum = r.getAs[Long]("cum_tokens")
+        assert(cum > prevCum)
+        assert(r.getAs[Long]("pack_id") == (cum - 1) / 256)
+        prevCum = cum
+      }
+    }
+  }
+
+  test("deterministic across partitionings") {
+    def run(parts: Int) = Curate.curate(docs.repartition(parts))
+      .orderBy("detected_lang", "doc_id").collect().map(_.toString).toSeq
+    assert(run(2) == run(11))
+  }
+}
