@@ -44,9 +44,9 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
-  private def check(payload: Array[Byte], tag: String): Unit = {
+  private def check(payload: Array[Byte], tag: String, objectStreams: Boolean = false): Unit = {
     val t0 = System.nanoTime()
-    val r = PdfExtract.parse(payload)
+    val r = PdfExtract.parse(payload, "", objectStreams)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(r.failure == null || !r.failure.startsWith("internal:"), s"$tag -> ${r.failure}")
     assert(ms < 1000, s"$tag took $ms ms")
@@ -55,6 +55,12 @@ class FuzzSpec extends AnyFunSuite {
   test("mutation fuzz: 3600 fixture mutations, zero internal failures, all < 1 s") {
     for (fi <- Fixtures.all.indices; s <- 0 until 100)
       check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
+  }
+
+  test("mutation fuzz with objectStreams=true: the ObjStm expansion path never fails internally") {
+    for (fi <- Fixtures.all.indices; s <- 0 until 50)
+      check(mutate(Fixtures.all(fi)._2, 7777L + fi * 100000L + s),
+        s"${Fixtures.names(fi)}#objstm#$s", objectStreams = true)
   }
 
   test("random blobs with a pdf header never fail internally") {
