@@ -61,7 +61,10 @@ object Curate {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val uniq = gated.join(keepExact, Seq("doc_id"), "left_semi")
+    // the survivor set feeds candidate generation, the verify join-back,
+    // the CC seed AND the final select — materialize it once instead of
+    // re-running the (interpreted-HOF) analysis gate per consumer
+    val uniq = gated.join(keepExact, Seq("doc_id"), "left_semi").localCheckpoint()
 
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
     val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard)
