@@ -42,7 +42,9 @@ object Curate {
   }
 
   /** Returns one row per SURVIVING document:
-    * (doc_id, detected_lang, n_tokens, cum_tokens, pack_id). */
+    * (doc_id, detected_lang, n_tokens, cum_tokens, pack_id).
+    * Rows with a null text evaluate null through the gate predicates and
+    * are therefore dropped — the gate semantics, not an accident. */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minQualityI4: Long = 2000, minJaccard: Double = 0.9,
              shingleWords: Int = 3, packBudget: Int = 512): DataFrame = {

@@ -226,6 +226,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // an unconverged result is silently-wrong dedup — fail loudly instead.
+    // maxIter bounds the component DIAMETER; graphs deeper than that want
+    // the large-star/small-star scheme cited above.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (component diameter > $maxIter)")
     labels.select(col("id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_kept"))
   }

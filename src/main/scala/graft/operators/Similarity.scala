@@ -153,6 +153,7 @@ object Similarity {
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nlist).as[(Long, Seq[Double])]
       .collect().map(_._2.toArray)
+    if (centroids.isEmpty) return centroids // empty corpus: nothing to train
 
     for (_ <- 1 to iters) {
       val cs = centroids

@@ -35,6 +35,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3) == 1)
   }
 
+  test("non-convergence fails loudly instead of returning wrong labels") {
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b"), (1L to 10L).toDF("id"), maxIter = 3)
+        .collect()
+    }
+  }
+
   test("simhashPairs == brute-force all-pairs hamming (pigeonhole: 4-chunk blocking is EXACT for radius 3)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withDups = docs.unionByName(

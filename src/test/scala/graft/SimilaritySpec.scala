@@ -76,6 +76,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r12 >= r4)
   }
 
+  test("IVF training on an empty corpus returns no centroids, search returns no rows") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val empty = emb.where(col("vec_id") < 0)
+    assert(Similarity.trainIvfCentroids(empty, "vec_id", "embedding", nlist = 4).isEmpty)
+    assert(Similarity.ivfTopK(empty, emb.where(col("vec_id") < 2), "vec_id", "embedding", 3).count() == 0)
+  }
+
   test("cosine of a vector with itself is ~1 and symmetric in arguments") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
