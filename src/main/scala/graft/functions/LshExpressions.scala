@@ -22,8 +22,13 @@ object LshKernel {
   private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
 
   /** coeffs(plane)(dim): deterministic on every JVM — xxhash64 of the two
-    * int literals exactly as the builtin xxhash64(plane, dim) folds them. */
-  def coeffs(nBits: Int, nTables: Int, dim: Int): Array[Array[Double]] =
+    * int literals exactly as the builtin xxhash64(plane, dim) folds them.
+    * The memo is bounded: a corpus with ragged vector lengths would
+    * otherwise retain one matrix per distinct dim for the JVM's lifetime
+    * (values are pure functions of the key, so wholesale eviction is
+    * harmless — the next caller recomputes). */
+  def coeffs(nBits: Int, nTables: Int, dim: Int): Array[Array[Double]] = {
+    if (cache.size > 64) cache.clear()
     cache.computeIfAbsent((nBits, nTables, dim), _ => {
       val nPlanes = nBits * nTables
       Array.tabulate(nPlanes, dim) { (plane, d) =>
@@ -31,13 +36,18 @@ object LshKernel {
         ((h % 100000L + 100000L) % 100000L).toDouble / 100000.0 - 0.5
       }
     })
+  }
 
-  /** nTables signatures of nBits bits each, float or double input vector. */
+  /** nTables signatures of nBits bits each, float or double input vector.
+    * A null element nulls every plane's dot product in the declarative
+    * form, and `when(null >= 0, bit).otherwise(0)` zeroes every bit — so
+    * the whole signature set collapses to 0L, replicated here. */
   def signatures(vec: ArrayData, nBits: Int, nTables: Int, isFloat: Boolean): Array[Long] = {
     val dim = vec.numElements()
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) {
+      if (vec.isNullAt(d)) return new Array[Long](nTables) // all-zero signatures
       v(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
       d += 1
     }
@@ -66,14 +76,19 @@ object CosineKernel {
   /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), every dot an
     * ordered double-precision left fold — bit-identical to the declarative
     * zip_with/aggregate formulation AND to DuckDB's list_dot_product over
-    * DOUBLE[] (the oracle contract). */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * DOUBLE[] (the oracle contract). Returns null (boxed) exactly where the
+    * declarative form does: ragged lengths (zip_with pads with null) or a
+    * null element — so a corrupt embedding row can never sneak a truncated
+    * cosine past a >= threshold predicate. */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -81,7 +96,7 @@ object CosineKernel {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
@@ -94,6 +109,7 @@ case class CosineSim(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged/null-element inputs yield null
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
@@ -107,8 +123,13 @@ case class CosineSim(left: Expression, right: Expression)
       b.asInstanceOf[ArrayData], isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineKernel.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""java.lang.Double $boxed = graft.functions.CosineKernel.cosine(
+         |  $a, ${isFloat(left)}, $b, ${isFloat(right)});
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)

@@ -54,6 +54,12 @@ case class TopKByScore(
   override def left: Expression = score
   override def right: Expression = id
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score requires (double score, bigint id), got (${score.dataType.sql}, ${id.dataType.sql})")
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -123,9 +129,12 @@ case class TopKByScore(
 object TopKFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** agg handle: array<struct<id,score>> of the k best (score desc, id asc). */
+  /** agg handle: array<struct<id,score>> of the k best (score desc, id asc).
+    * Inputs are cast up front so any numeric score / integral id column
+    * works (the expression itself requires exactly double + bigint). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      TopKByScore(ColumnBridge.expression(score.cast("double")),
+        ColumnBridge.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

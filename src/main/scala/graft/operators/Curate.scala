@@ -23,24 +23,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curate {
 
-  /** quality_score_i4 exactly as TextAnalysis.qualityColumns emits it. */
-  private def qualityI4(textCol: Column): Column = {
-    val nChars = length(textCol)
-    val tokens = split(textCol, " ")
-    val nTokens = size(tokens)
-    val nonAlnum = length(regexp_replace(textCol, "[a-zA-Z0-9 ]", ""))
-    val nonAlnumRatio = nonAlnum.cast("double") / greatest(nChars, lit(1)).cast("double")
-    val stopHits = aggregate(
-      transform(tokens, t => when(lower(t).isin("the", "and", "of", "a", "to", "in", "is"), 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-    val stopRatio = stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double")
-    val lenScore = least(nChars.cast("double") / lit(500.0d), lit(1.0d))
-    val score = (lenScore * lit(0.4d)) +
-      (least(stopRatio * lit(5.0d), lit(1.0d)) * lit(0.3d)) +
-      ((lit(1.0d) - least(nonAlnumRatio * lit(5.0d), lit(1.0d))) * lit(0.3d))
-    floor(score * 10000).cast("long")
-  }
-
   /** Returns one row per SURVIVING document:
     * (doc_id, detected_lang, n_tokens, cum_tokens, pack_id).
     * Rows with a null text evaluate null through the gate predicates and
@@ -54,7 +36,7 @@ object Curate {
       col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("detected_lang"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
-      qualityI4(col(textCol)).as("quality_i4"))
+      TextAnalysis.qualityScoreI4(col(textCol)).as("quality_i4"))
     val gated = analyzed
       .where(col("quality_i4") >= minQualityI4 && col("detected_lang") =!= "und")
 

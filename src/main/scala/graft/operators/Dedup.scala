@@ -204,36 +204,45 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    edges.count() // materialize once; reused every round
+    try {
+      edges.count() // materialize once; reused every round
 
-    var labels = ids.select(col("id"), col("id").cast("long").as("label")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    // an unconverged result is silently-wrong dedup — fail loudly instead.
-    // maxIter bounds the component DIAMETER; graphs deeper than that want
-    // the large-star/small-star scheme cited above.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds (component diameter > $maxIter)")
-    labels.select(col("id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("is_kept"))
+      // sum(label) is null on an empty frame — an empty id set must yield
+      // an empty result, not an NPE (e.g. a curation run whose gates drop
+      // every document)
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+
+      var labels = ids.select(col("id"), col("id").cast("long").as("label")).localCheckpoint()
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels = next
+        iter += 1
+      }
+      // an unconverged result is silently-wrong dedup — fail loudly instead.
+      // maxIter bounds the component DIAMETER; graphs deeper than that want
+      // the large-star/small-star scheme cited above.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds (component diameter > $maxIter)")
+      labels.select(col("id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_kept"))
+    } finally edges.unpersist()
   }
 
   // ---------- n-gram Jaccard ----------

@@ -115,7 +115,9 @@ object ExtractPipeline {
       var failure: String = null
       try contents = HtmlExtract.extractBytes(payload, scratch)
       catch {
-        case t: Throwable =>
+        // NonFatal only: an OOM/VM error must kill the task (a corrupted
+        // JVM retrying on another executor beats committing bad output)
+        case scala.util.control.NonFatal(t) =>
           ok = false
           failure = "internal: " + t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)
       }

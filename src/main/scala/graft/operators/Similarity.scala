@@ -186,6 +186,19 @@ object Similarity {
     centroids
   }
 
+  /** cosine(v, centroid c) — the ONE scoring rule assignment and probing
+    * share (zero-norm degrades below every real score). */
+  private def centroidScore(v: Seq[Double], cv: Array[Double]): Double = {
+    var dot = 0.0
+    var nc = 0.0
+    var nv = 0.0
+    var d = 0
+    val n = math.min(cv.length, v.length)
+    while (d < n) { dot += v(d) * cv(d); nc += cv(d) * cv(d); nv += v(d) * v(d); d += 1 }
+    if (nc == 0 || nv == 0) Double.NegativeInfinity
+    else dot / (math.sqrt(nc) * math.sqrt(nv))
+  }
+
   /** argmax over centroids of cosine(v, c) — deterministic ties to the
     * lower centroid id. */
   private def nearestCentroid(v: Seq[Double], cs: Array[Array[Double]]): Int = {
@@ -193,15 +206,7 @@ object Similarity {
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < cs.length) {
-      var dot = 0.0
-      var nc = 0.0
-      var nv = 0.0
-      var d = 0
-      val cv = cs(c)
-      val n = math.min(cv.length, v.length)
-      while (d < n) { dot += v(d) * cv(d); nc += cv(d) * cv(d); nv += v(d) * v(d); d += 1 }
-      val score = if (nc == 0 || nv == 0) Double.NegativeInfinity
-                  else dot / (math.sqrt(nc) * math.sqrt(nv))
+      val score = centroidScore(v, cs(c))
       if (score > bestScore) { bestScore = score; best = c }
       c += 1
     }
@@ -210,15 +215,8 @@ object Similarity {
 
   /** The nprobe centroid ids nearest to v (cosine, deterministic order). */
   private def probeLists(v: Seq[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] = {
-    val scored = cs.indices.map { c =>
-      var dot = 0.0; var nc = 0.0; var nv = 0.0
-      val cv = cs(c)
-      val n = math.min(cv.length, v.length)
-      var d = 0
-      while (d < n) { dot += v(d) * cv(d); nc += cv(d) * cv(d); nv += v(d) * v(d); d += 1 }
-      (if (nc == 0 || nv == 0) Double.NegativeInfinity else dot / (math.sqrt(nc) * math.sqrt(nv)), c)
-    }
-    scored.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+    cs.indices.map(c => (centroidScore(v, cs(c)), c))
+      .sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid

@@ -45,23 +45,42 @@ object TextAnalysis {
     aggregate(transform(split(textCol, " "), t => ceil(length(t).cast("double") / 4.0d).cast("long")),
       lit(0L), (acc, v) => acc + v)
 
+  private def nonAlnumRatioCol(textCol: Column): Column =
+    length(regexp_replace(textCol, "[a-zA-Z0-9 ]", "")).cast("double") /
+      greatest(length(textCol), lit(1)).cast("double")
+
+  private def stopRatioCol(textCol: Column): Column = {
+    val tokens = split(textCol, " ")
+    val stopHits = aggregate(
+      transform(tokens, t => when(lower(t).isin("the", "and", "of", "a", "to", "in", "is"), 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    stopHits.cast("double") / greatest(size(tokens), lit(1)).cast("double")
+  }
+
+  /** The composite [0,1] quality score — THE single definition consumed by
+    * qualityColumns (q15), Curate's gate, and the q38 oracle. */
+  def qualityScore(textCol: Column): Column = {
+    val lenScore = least(length(textCol).cast("double") / lit(500.0d), lit(1.0d))
+    (lenScore * lit(0.4d)) +
+      (least(stopRatioCol(textCol) * lit(5.0d), lit(1.0d)) * lit(0.3d)) +
+      ((lit(1.0d) - least(nonAlnumRatioCol(textCol) * lit(5.0d), lit(1.0d))) * lit(0.3d))
+  }
+
+  /** Integer-scaled (1e4) quality score: floor of a double is bit-portable
+    * and integer sums are order-independent — the aggregation/oracle-safe
+    * variant. */
+  def qualityScoreI4(textCol: Column): Column =
+    floor(qualityScore(textCol) * 10000).cast("long")
+
   /** Quality features: length, tokens, mean token length, uppercase ratio,
     * non-alphanumeric ratio, stopword ratio, and a composite [0,1] score. */
   def qualityColumns(textCol: Column): Seq[Column] = {
     val nChars = length(textCol)
-    val tokens = split(textCol, " ")
-    val nTokens = size(tokens)
+    val nTokens = size(split(textCol, " "))
     val meanTokLen = (nChars.cast("double") / greatest(nTokens, lit(1)).cast("double"))
-    val nonAlnum = length(regexp_replace(textCol, "[a-zA-Z0-9 ]", ""))
-    val nonAlnumRatio = nonAlnum.cast("double") / greatest(nChars, lit(1)).cast("double")
-    val stopHits = aggregate(
-      transform(tokens, t => when(lower(t).isin("the", "and", "of", "a", "to", "in", "is"), 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-    val stopRatio = stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double")
-    val lenScore = least(nChars.cast("double") / lit(500.0d), lit(1.0d))
-    val score = (lenScore * lit(0.4d)) +
-      (least(stopRatio * lit(5.0d), lit(1.0d)) * lit(0.3d)) +
-      ((lit(1.0d) - least(nonAlnumRatio * lit(5.0d), lit(1.0d))) * lit(0.3d))
+    val nonAlnumRatio = nonAlnumRatioCol(textCol)
+    val stopRatio = stopRatioCol(textCol)
+    val score = qualityScore(textCol)
     Seq(
       nChars.as("n_chars"),
       nTokens.as("n_tokens"),
@@ -69,9 +88,7 @@ object TextAnalysis {
       round(nonAlnumRatio, 4).as("non_alnum_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(score, 4).as("quality_score"),
-      // integer-scaled score (1e4): floor of a double is bit-portable and
-      // integer sums are order-independent — the aggregation-safe variant
-      floor(score * 10000).cast("long").as("quality_score_i4"))
+      qualityScoreI4(textCol).as("quality_score_i4"))
   }
 
   /** 64-bit rolling document fingerprint: ordered hash-chain fold of token

@@ -321,6 +321,15 @@ object PdfExtract {
   private def isStackOverflow(r: ParsedPdf): Boolean =
     r.failure != null && r.failure.startsWith("internal: StackOverflowError")
 
+  private def failureResult(message: String): ParsedPdf =
+    ParsedPdf(
+      contents = Array.emptyByteArray, javascript = Array.emptyByteArray,
+      urls = Array.emptyByteArray, files = Array.emptyByteArray,
+      commands = Array.emptyByteArray, errors = Array.emptyByteArray,
+      raw = Array.emptyByteArray, embedded = Seq.empty,
+      ok = false, failure = message,
+      nObjects = 0L, nStreams = 0L, filtersApplied = Map.empty)
+
   private def parseOnBigStack(payload: Array[Byte], password: String,
                               objectStreams: Boolean): ParsedPdf = {
     val out = new java.util.concurrent.atomic.AtomicReference[ParsedPdf]
@@ -329,9 +338,18 @@ object PdfExtract {
       "graft-pdf-bigstack", BigStackBytes)
     t.setDaemon(true)
     t.start()
-    t.join()
+    try t.join()
+    catch {
+      case _: InterruptedException =>
+        // task kill mid-join: keep the never-throws contract, restore the
+        // interrupt flag so Spark's cancellation still observes it
+        Thread.currentThread().interrupt()
+        return failureResult("internal: interrupted during big-stack retry")
+    }
     val r = out.get()
-    if (r != null) r else parseHere(Array.emptyByteArray, password, objectStreams)
+    // the retry thread died before publishing (e.g. OOM): report THAT,
+    // never a misleading empty-payload parse
+    if (r != null) r else failureResult("internal: big-stack retry produced no result")
   }
 
   /** The corpus-facing equivalent of `pdf.Parse(path, password, outdir)`

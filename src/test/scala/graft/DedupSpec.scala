@@ -35,6 +35,13 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3) == 1)
   }
 
+  test("empty id set yields an empty result (a fully-gated-out corpus must not crash)") {
+    val out = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[Long].toDF("id"))
+    assert(out.count() == 0)
+  }
+
   test("non-convergence fails loudly instead of returning wrong labels") {
     val chain = (1L until 10L).map(i => (i, i + 1))
     intercept[IllegalStateException] {

@@ -40,6 +40,30 @@ class LshExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("x") =!= col("y") || col("xd") =!= col("yd")).count() == 0)
   }
 
+  test("ragged and null-element inputs follow the declarative null semantics") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),      // ragged
+      Row(Seq(1.0, null, 3.0), Seq(1.0, 2.0, 3.0)), // null element
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0)))            // clean
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("nat"),
+      Similarity.cosineDeclarative(col("a"), col("b")).as("dec"),
+      Similarity.signatures(col("a"), 4, 2).as("sig_nat"),
+      Similarity.signaturesDeclarative(col("a"), 4, 2).as("sig_dec")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString) // cosine null parity
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+      assert(r.getSeq[Any](2) == r.getSeq[Any](3), r.toString) // signature parity
+    }
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+  }
+
   test("plan stays native: no ScalaUDF, batched scan") {
     val p = emb.select(Similarity.signatures(col("embedding"), 8, 4).as("s"))
       .queryExecution.executedPlan.toString
