@@ -87,6 +87,7 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
     * fetchObject. Default false = reference parity (compressed -> null). */
   var expandObjectStreams: Boolean = false
   private val compressedInProgress = mutable.HashSet.empty[Int]
+  private val fetchInProgress = mutable.HashSet.empty[Int]
 
   /** The parser whose xref resolves references parsed here. A nested
     * /ObjStm body parser reads bytes from the container stream but its
@@ -437,6 +438,19 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   // ---- object fetch (parser.go:370-460) ----
 
   def getObject(number: Int): IndirectObject = {
+    // Re-entrant fetch guard: resolving an object's OWN metadata mid-fetch
+    // (e.g. `1 0 obj <</Filter 1 0 R>> stream...` — the filter-list name
+    // lookup resolves back into the object being fetched) recurses forever
+    // in the reference (fresh resolved_references map per Resolve, no
+    // in-progress set; Go's growable stack loops until OOM). A corpus
+    // engine must degrade per-document: the inner fetch observes null,
+    // exactly like the existing reference-cycle guard. The transient null
+    // is NOT cached — the outer fetch stores the real object when it
+    // completes. DIVERGENCES.md #10.
+    if (fetchInProgress.contains(number)) {
+      nObjectsFetched += 1
+      return IndirectObject.nullObject(number)
+    }
     if (cachingEnabled) {
       objectCache.get(number) match {
         case Some((cached, errorBytes)) =>
@@ -464,6 +478,12 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
   }
 
   private def fetchObject(number: Int): IndirectObject = {
+    fetchInProgress += number
+    try fetchObjectGuarded(number)
+    finally fetchInProgress -= number
+  }
+
+  private def fetchObjectGuarded(number: Int): IndirectObject = {
     val obj = IndirectObject.nullObject(number)
     nObjectsFetched += 1
     xref.get(number) match {

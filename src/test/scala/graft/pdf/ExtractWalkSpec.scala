@@ -291,6 +291,23 @@ class ExtractWalkSpec extends AnyFunSuite {
     assert(s(r.contents) == "Hello Crypt\n")
   }
 
+  test("self-referential stream metadata terminates: re-entrant fetch resolves to null (DIVERGENCES #10)") {
+    // the reference recurses forever here (fetch -> readStream -> resolve
+    // /Filter -> fetch the same object); found by the mutation fuzz
+    for (body <- Seq(
+      "1 0 obj\n<</Filter 1 0 R>>\nstream\nxyz\nendstream\nendobj\n",
+      "1 0 obj\n<</Filter [1 0 R]>>\nstream\nxyz\nendstream\nendobj\n",
+      "1 0 obj\n<</DecodeParms 1 0 R /Filter /FlateDecode>>\nstream\nxyz\nendstream\nendobj\n",
+      // two-object fetch cycle through stream metadata
+      "1 0 obj\n<</Filter 2 0 R>>\nstream\nx\nendstream\nendobj\n" +
+        "2 0 obj\n<</Also 1 0 R>>\nendobj\n")) {
+      val t0 = System.nanoTime()
+      val r = parse(body)
+      assert((System.nanoTime() - t0) / 1e6 < 1000, "must terminate fast")
+      assert(r.failure == null || !r.failure.startsWith("internal:"), String.valueOf(r.failure))
+    }
+  }
+
   test("deep nesting survives via the big-stack retry (Go growable-stack parity)") {
     // default JVM thread stacks overflow near depth ~4k; Go's growable
     // stacks parse these fine — the retry thread restores parity
