@@ -13,7 +13,7 @@ import graft.sources.CrawlCorpus.splitmix64
 class FuzzSpec extends AnyFunSuite {
 
   private def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
-    val kind = math.floorMod(splitmix64(seed), 6L).toInt
+    val kind = math.floorMod(splitmix64(seed), 9L).toInt
     val b = base.clone()
     def idx(k: Long): Int =
       if (b.length == 0) 0 else math.floorMod(splitmix64(seed ^ k), b.length.toLong).toInt
@@ -40,6 +40,18 @@ class FuzzSpec extends AnyFunSuite {
         val tok = " 0 1 R stream endstream obj endobj << >> [ ] (".getBytes(ISO_8859_1)
         java.util.Arrays.copyOfRange(b, 0, idx(6)) ++ tok ++
           java.util.Arrays.copyOfRange(b, idx(6).min(b.length), b.length)
+      case 5 => // inject encryption/xref tokens (this kind found the
+        // self-referential-filter infinite recursion, DIVERGENCES #10)
+        val tok = (" /Encrypt 1 0 R /Filter /Standard /V 4 /R 4 " +
+          "/CF <</StdCF <</CFM /AESV2>> >> stream endstream xref trailer startxref").getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(6)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(6).min(b.length), b.length)
+      case 6 => // double-splice three fixtures
+        val o1 = Fixtures.all(math.floorMod(splitmix64(seed ^ 7), Fixtures.all.length.toLong).toInt)._2
+        val o2 = Fixtures.all(math.floorMod(splitmix64(seed ^ 8), Fixtures.all.length.toLong).toInt)._2
+        o1.take(idx(9)) ++ b.drop(idx(11)) ++
+          o2.take(math.floorMod(splitmix64(seed ^ 12), o2.length.toLong).toInt)
+      case 7 => b ++ b // whole-document duplication (two bodies, two xrefs)
       case _ => b.reverse
     }
   }
@@ -52,7 +64,7 @@ class FuzzSpec extends AnyFunSuite {
     assert(ms < 1000, s"$tag took $ms ms")
   }
 
-  test("mutation fuzz: 3600 fixture mutations, zero internal failures, all < 1 s") {
+  test("mutation fuzz: fixture mutations (9 kinds), zero internal failures, all < 1 s") {
     for (fi <- Fixtures.all.indices; s <- 0 until 100)
       check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
   }
