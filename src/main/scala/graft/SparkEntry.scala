@@ -191,8 +191,12 @@ object SparkEntry {
           floor(col("jaccard") * 10000).cast("long").as("jaccard_i4"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // oracle-portable md5-simhash variant (60-bit, same chunk blocking +
+    // bit_count verify) — the production xxhash64 simhash stays proven by
+    // DedupSpec's brute-force-equivalence test; this one is additionally
+    // hash-exact vs a DuckDB all-pairs hamming oracle
     "q18_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsPortable(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q19_ngram_jaccard" -> ((s, dir) =>
@@ -246,7 +250,8 @@ object SparkEntry {
         .select(col("url"), col("kind"), col("ok"),
           md5(col("contents")).as("contents_md5"),
           length(col("contents")).as("n_bytes"),
-          col("raw_md5"), col("n_objects"), col("n_streams"), col("n_errors"))
+          col("raw_md5"), col("n_objects"), col("n_streams"), col("n_errors"),
+          size(col("embedded_md5")).cast("long").as("n_embedded"))
         .orderBy(col("url"))),
 
     "q25_extract_errors" -> ((s, dir) =>
@@ -537,6 +542,29 @@ object SparkEntry {
          CAST(list_sum(list_transform(string_split(text, ' '),
            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate
          FROM documents ORDER BY doc_id""",
+
+    // Brute-force md5-simhash hamming: DuckDB recomputes the SAME 60-bit
+    // simhash (per-token hash = top 15 hex chars of md5, per-bit majority
+    // vote) and verifies ALL pairs with bit_count(xor()) — the engine's
+    // chunk blocking is exact for radius 3 by pigeonhole, so blocked ==
+    // brute force
+    "q18_simhash" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         toks AS (SELECT doc_id, list_transform(string_split(text, ' '),
+             t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM docs),
+         sh AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs,
+                   h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY id_a, id_b""",
 
     // Brute-force string-shingle jaccard: identical to the engine's
     // 64-bit-hash-shingle jaccard up to 2^-64 collisions. The size

@@ -129,10 +129,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  /** Idempotent: a name already present in the session registry is left
+    * alone (re-registering identical builders is a no-op that only spams
+    * `SimpleFunctionRegistry` replacement WARNs into every bench log). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     GraftFunctionSet.all.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, args => builder(args), "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, args => builder(args), "built-in")
     }
   }
 }

@@ -29,7 +29,9 @@ object Curate {
     * are therefore dropped — the gate semantics, not an accident. */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minQualityI4: Long = 2000, minJaccard: Double = 0.9,
-             shingleWords: Int = 3, packBudget: Int = 512): DataFrame = {
+             shingleWords: Int = 3, packBudget: Int = 512,
+             sharded: Boolean = false, packShards: Int = 64,
+             reliableCheckpoint: Boolean = false): DataFrame = {
     // 1. analysis gate — one map-local pass
     val analyzed = docs.select(
       col(idCol).cast("long").as("doc_id"),
@@ -48,22 +50,43 @@ object Curate {
     // the survivor set feeds candidate generation, the verify join-back,
     // the CC seed AND the final select — materialize it once instead of
     // re-running the (interpreted-HOF) analysis gate per consumer
-    val uniq = gated.join(keepExact, Seq("doc_id"), "left_semi").localCheckpoint()
+    val uniq = Dedup.checkpointDf(
+      gated.join(keepExact, Seq("doc_id"), "left_semi"), reliableCheckpoint)
 
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
     val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard)
       .select(col("id_a"), col("id_b"))
-    val clusters = Dedup.connectedComponents(pairs, uniq.select(col("doc_id").as("id")))
+    val clusters = Dedup.connectedComponents(pairs, uniq.select(col("doc_id").as("id")),
+      reliableCheckpoint = reliableCheckpoint)
     val kept = uniq.join(
       clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
 
-    // 4. greedy token packing per language (cumulative-range semantics)
-    val w = Window.partitionBy(col("detected_lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept
-      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
-      .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(packBudget)).cast("long"))
-      .select(col("doc_id"), col("detected_lang"), col("n_tokens"),
-        col("cum_tokens"), col("pack_id"))
+    // 4. greedy token packing per language. `sharded = false` (default):
+    // one cumulative window per language — oracle-portable exact greedy
+    // packing, but one giant language serializes into a single partition's
+    // window sort. `sharded = true`: salted two-level packing
+    // (TextAnalysis.packTokensSharded semantics, sort parallelism = langs x
+    // packShards; cum_tokens becomes per-(lang, shard), pack ids stay
+    // globally unique and every pack still respects the budget).
+    if (sharded) {
+      val shard = pmod(xxhash64(col("doc_id")), lit(packShards))
+      val w = Window.partitionBy(col("detected_lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("shard", shard)
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - lit(1)) / lit(packBudget)).cast("long") * packShards + col("shard"))
+        .select(col("doc_id"), col("detected_lang"), col("n_tokens"),
+          col("cum_tokens"), col("pack_id"))
+    } else {
+      val w = Window.partitionBy(col("detected_lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+        .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(packBudget)).cast("long"))
+        .select(col("doc_id"), col("detected_lang"), col("n_tokens"),
+          col("cum_tokens"), col("pack_id"))
+    }
   }
 }

@@ -75,42 +75,85 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b => xxhash64(slice(sigCol, b * r + 1, lit(r))))
   }
 
+  /** Default blocking-key frequency cap for the pair miners: one popular
+    * block contributes ~maxBlock^2/2 candidate pairs, so 4096 bounds any
+    * single block at ~8.4M pairs — generous enough that no honest near-dup
+    * cluster at the defaults ever trips it, small enough that a
+    * boilerplate band shared by 10^7 template pages cannot detonate the
+    * pair count at 100x scale. */
+  val DefaultMaxBlock: Long = 4096L
+
+  private val blockMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Blocking-key frequency cap shared by every pair miner: blocks (grouped
+    * by `keys`) with more than `maxBlock` member rows are dropped from the
+    * self-join. The candidate-pair COUNT of a block is quadratic in its
+    * population — a cap is the only thing that bounds it (no join strategy
+    * can; AQE's skew split only rebalances partitions, it does not shrink
+    * the pair volume). A true near-dup pair is lost only when EVERY key the
+    * two documents share is over-popular; exact duplicates share all keys,
+    * so they survive unless the whole document is over-popular boilerplate.
+    *
+    * Observability: the counting aggregate emits observed metrics
+    * (`dropped_blocks`, `max_block_n`) via a uniquely-named
+    * CollectMetrics node — visible to any QueryExecutionListener /
+    * `Observation` without forcing an extra job. */
+  private[operators] def capBlocks(rows: DataFrame, keys: Seq[String],
+                                   maxBlock: Long, metric: String): DataFrame =
+    if (maxBlock <= 0) rows
+    else {
+      val keyCols = keys.map(col)
+      val kept = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("block_n"))
+        .observe(s"${metric}_${blockMetricSeq.incrementAndGet()}",
+          sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("dropped_blocks"),
+          max(col("block_n")).as("max_block_n"))
+        .where(col("block_n") <= maxBlock)
+        .select(keyCols: _*)
+      rows.join(kept, keys, "left_semi")
+    }
+
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated
     * jaccard (signature agreement ratio).
-    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. The rows entering
-    * dropDuplicates are identical per pair (est_jaccard is a function of
-    * the two signatures), so the result is deterministic under ties. */
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. Deterministic:
+    * est_jaccard is a function of the two signatures.
+    *
+    * Scale shape: candidates come from `minhashLshCandidates` (compact
+    * band-key self-join, frequency-capped); the signatures join BACK by id
+    * for the estimate, so the k-long signature arrays never ride the band
+    * exchange. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
-                      minJaccard: Double = 0.5): DataFrame = {
-    val banded = df.select(
-        col(idCol).as("id"),
-        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
-      .select(col("id"), col("sig"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
-
-    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
+                      minJaccard: Double = 0.5,
+                      maxBlock: Long = DefaultMaxBlock): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
+    minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Banded-LSH candidate pairs (id_a < id_b) — the shared candidate
     * generator for the exact-verified dedup operators. Only
     * (band_idx, band_hash, id) triples cross the self-join exchange: 3
-    * bigints per (row, band), never signatures, shingles, or text. */
+    * bigints per (row, band), never signatures, shingles, or text.
+    * Over-popular (band_idx, band_hash) blocks — boilerplate pages whose
+    * shared band would make the pair count quadratic — are dropped by the
+    * `capBlocks` frequency cap (ON by default; 0 disables). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           shingleWords: Int, k: Int, bands: Int): DataFrame = {
+                           shingleWords: Int, k: Int, bands: Int,
+                           maxBlock: Long = DefaultMaxBlock): DataFrame = {
     val banded = df.select(
         col(idCol).as("id"),
         graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val blocked = capBlocks(banded, Seq("band_idx", "band_hash"), maxBlock, "minhash_lsh_blocks")
+    val a = blocked.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = blocked.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -159,30 +202,77 @@ object Dedup {
     * which no join strategy can. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    simhashPairsOn(df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      nBits = 64, maxHamming = maxHamming, maxBlock = maxBlock)
+  }
+
+  /** Oracle-portable simhash: the same per-bit vote, but the per-token hash
+    * is the top 60 bits of md5(token) — expressible in ANSI SQL
+    * (`CAST('0x' || substring(md5(t),1,15) AS BIGINT)`), unlike xxhash64.
+    * 60 bits so the value stays positive in a signed BIGINT on both
+    * engines. The production path stays the native codegen'd
+    * `simhash` (xxhash64); this variant exists so the simhash FAMILY is
+    * hash-exact checkable against an external engine (q18). */
+  def simhashMd5Declarative(textCol: Column, nBits: Int = 60): Column = {
+    val tokenHashes = transform(split(textCol, " "),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val votes = aggregate(
+      tokenHashes,
+      transform(sequence(lit(0), lit(nBits - 1)), _ => lit(0L)),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(nBits - 1)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(nBits - 1)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** `simhashPairs` over the oracle-portable md5 simhash (60 bits, 4 chunks
+    * of 15 — the radius-3 pigeonhole guarantee is unchanged). */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame =
+    simhashPairsOn(df.select(col(idCol).as("id"), simhashMd5Declarative(col(textCol)).as("sh")),
+      nBits = 60, maxHamming = maxHamming, maxBlock = maxBlock)
+
+  /** Chunk-blocked hamming pair mining over a precomputed (id, sh) frame:
+    * 4 chunks of nBits/4, exact for radius <= 3 by pigeonhole. Only
+    * (chunk_idx, chunk, id, sh) rows cross the self-join exchange. */
+  private def simhashPairsOn(hashed: DataFrame, nBits: Int,
+                             maxHamming: Int, maxBlock: Long): DataFrame = {
+    val chunkBits = nBits / 4
+    val mask = (1L << chunkBits) - 1
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftrightunsigned", col("sh"), c * 16).bitwiseAND(lit(0xffffL)))).as(Seq("chunk_idx", "chunk")))
-    val blocked =
-      if (maxBlock <= 0) chunked
-      else {
-        val counts = chunked.groupBy(col("chunk_idx"), col("chunk"))
-          .agg(count(lit(1)).as("block_n"))
-          .where(col("block_n") <= maxBlock)
-          .select(col("chunk_idx"), col("chunk"))
-        chunked.join(counts, Seq("chunk_idx", "chunk"), "left_semi")
-      }
+        c => call_function("shiftrightunsigned", col("sh"), c * chunkBits).bitwiseAND(lit(mask)))).as(Seq("chunk_idx", "chunk")))
+    val blocked = capBlocks(chunked, Seq("chunk_idx", "chunk"), maxBlock, "simhash_blocks")
     val a = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
 
   // ---------- duplicate clusters ----------
+
+  /** Per-round plan truncation for the iterative algorithms.
+    * `localCheckpoint` (default) stores blocks on executors — fast, but an
+    * executor loss makes the RDD unrecoverable and aborts the job, so for
+    * the long tail of a 100 TB production run set `reliable = true` (and
+    * `sparkContext.setCheckpointDir` to durable storage first): blocks then
+    * land in the checkpoint dir and survive executor churn. */
+  private[operators] def checkpointDf(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir(<durable path>)")
+      df.checkpoint()
+    }
 
   /** Connected components over a near-duplicate pair set: every document
     * gets the minimum doc id of its component as `cluster_id` (`is_kept`
@@ -200,22 +290,26 @@ object Dedup {
     * large-star/small-star scheme (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC 2014) drops the round count to
     * O(log^2 n); dedup graphs do not need it. */
-  def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     try {
       edges.count() // materialize once; reused every round
 
-      // sum(label) is null on an empty frame — an empty id set must yield
-      // an empty result, not an NPE (e.g. a curation run whose gates drop
-      // every document)
-      def labelSum(df: DataFrame): Long = {
-        val r = df.agg(sum(col("label"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+      // Convergence probe: the label sum in DECIMAL(38,0) — exact (no Long
+      // wrap: a round whose total decrease is a multiple of 2^64 must not
+      // fake convergence) and null on an empty frame (an empty id set must
+      // yield an empty result, not an NPE — e.g. a curation run whose
+      // gates drop every document).
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
       }
 
-      var labels = ids.select(col("id"), col("id").cast("long").as("label")).localCheckpoint()
+      var labels = checkpointDf(
+        ids.select(col("id"), col("id").cast("long").as("label")), reliableCheckpoint)
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
@@ -223,13 +317,13 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val next = labels
+        val next = checkpointDf(labels
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint()
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")),
+          reliableCheckpoint)
         val nextSum = labelSum(next)
-        converged = nextSum == prevSum
+        converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels = next
         iter += 1
@@ -268,8 +362,9 @@ object Dedup {
     * thresholds raise `bands` or lower `k/bands`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, minJaccard: Double = 0.5,
-                        k: Int = 64, bands: Int = 16): DataFrame = {
-    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands)
+                        k: Int = 64, bands: Int = 16,
+                        maxBlock: Long = DefaultMaxBlock): DataFrame = {
+    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock)
     val hashes = df.select(col(idCol).as("id"),
       graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes"))
     cand

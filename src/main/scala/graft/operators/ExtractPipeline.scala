@@ -28,6 +28,17 @@ final case class ExtractedDoc(
     errors: Seq[String],
     embedded_md5: Seq[String],
     embedded_name: Seq[String],
+    /** The embedded-file payload bytes themselves — the reference's file-dump
+      * sink (it writes each embedded file's content to disk under its md5
+      * name, pdf/output.go:93-104, and XFA to form.xml, pdf/object.go:62-72).
+      * Index-aligned with `embedded_md5`/`embedded_name`. Opt-in (null under
+      * the default `includeEmbedded = false`): embedded files are the one
+      * column that can dwarf the document itself, and the md5 manifest
+      * already pins their identity. Under `includeEmbedded = true` a per-doc
+      * byte budget (`maxEmbeddedBytes`) nulls individual oversized entries
+      * (alignment preserved) so one pathological attachment cannot blow the
+      * row size — a nulled entry is detectable as md5 present, data null. */
+    embedded_data: Seq[Array[Byte]],
     raw_md5: String,
     raw_size: Long,
     ok: Boolean,
@@ -81,11 +92,29 @@ object ExtractPipeline {
   def extractOne(row: CrawlRow, password: String): ExtractedDoc =
     extractOne(row, password, new HtmlExtract.Scratch)
 
+  /** Default per-document embedded-payload budget (bytes) under
+    * `includeEmbedded = true`. */
+  val DefaultMaxEmbeddedBytes: Long = 64L * 1024 * 1024
+
   def extractOne(row: CrawlRow, password: String, scratch: HtmlExtract.Scratch,
-                 includeRaw: Boolean = false, objectStreams: Boolean = false): ExtractedDoc = {
+                 includeRaw: Boolean = false, objectStreams: Boolean = false,
+                 includeEmbedded: Boolean = false,
+                 maxEmbeddedBytes: Long = DefaultMaxEmbeddedBytes): ExtractedDoc = {
     val payload = if (row.html == null) Array.emptyByteArray else row.html
     if (isPdf(row.url, payload)) {
       val r = PdfExtract.parse(payload, password, objectStreams)
+      // budget in extraction order: an entry that would push the running
+      // total past the cap is nulled (md5/name stay), later small ones may
+      // still fit — deterministic, index-aligned
+      val embeddedData: Seq[Array[Byte]] =
+        if (!includeEmbedded) null
+        else {
+          var budget = maxEmbeddedBytes
+          r.embedded.map { e =>
+            if (e.data.length <= budget) { budget -= e.data.length; e.data }
+            else null
+          }
+        }
       ExtractedDoc(
         url = row.url, warc_ts = row.warc_ts, lang = row.lang, kind = "pdf",
         contents = r.contents,
@@ -96,6 +125,7 @@ object ExtractPipeline {
         errors = splitLines(r.errors),
         embedded_md5 = r.embedded.map(_.md5),
         embedded_name = r.embedded.map(_.name),
+        embedded_data = embeddedData,
         raw_md5 = md5hex(r.raw),
         raw_size = r.raw.length.toLong,
         ok = r.ok,
@@ -127,6 +157,7 @@ object ExtractPipeline {
         javascript = Array.emptyByteArray,
         urls = Seq.empty, files = Seq.empty, commands = Seq.empty,
         errors = Seq.empty, embedded_md5 = Seq.empty, embedded_name = Seq.empty,
+        embedded_data = if (includeEmbedded) Seq.empty else null,
         raw_md5 = md5hex(payload), raw_size = payload.length.toLong,
         ok = ok, failure = failure,
         n_objects = 0L, n_streams = 0L, n_filters = 0L, n_errors = 0L,
@@ -143,25 +174,34 @@ object ExtractPipeline {
     * byte-identity gate holds to that). */
   def extractDocs(ds: Dataset[CrawlRow], password: String = "",
                   includeRaw: Boolean = false,
-                  objectStreams: Boolean = false): Dataset[ExtractedDoc] = {
+                  objectStreams: Boolean = false,
+                  includeEmbedded: Boolean = false,
+                  maxEmbeddedBytes: Long = DefaultMaxEmbeddedBytes): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val scratch = new HtmlExtract.Scratch // one per task
-      it.map(row => extractOne(row, password, scratch, includeRaw, objectStreams))
+      it.map(row => extractOne(row, password, scratch, includeRaw, objectStreams,
+        includeEmbedded, maxEmbeddedBytes))
     }
   }
 
   /** Per-document password variant: the reference takes `-p` per invocation
     * (main.go:30-36); at corpus scale the password rides with the row. A
-    * null password falls back to the corpus-wide default. */
+    * null password falls back to the corpus-wide default. Carries the same
+    * option surface as `extractDocs` — encrypted corpora are the most
+    * likely to be post-1.5 PDFs wanting /ObjStm expansion. */
   def extractDocsWithPasswords(ds: Dataset[(CrawlRow, String)],
                                defaultPassword: String = "",
-                               includeRaw: Boolean = false): Dataset[ExtractedDoc] = {
+                               includeRaw: Boolean = false,
+                               objectStreams: Boolean = false,
+                               includeEmbedded: Boolean = false,
+                               maxEmbeddedBytes: Long = DefaultMaxEmbeddedBytes): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val scratch = new HtmlExtract.Scratch
       it.map { case (row, pw) =>
-        extractOne(row, if (pw == null) defaultPassword else pw, scratch, includeRaw)
+        extractOne(row, if (pw == null) defaultPassword else pw, scratch, includeRaw,
+          objectStreams, includeEmbedded, maxEmbeddedBytes)
       }
     }
   }

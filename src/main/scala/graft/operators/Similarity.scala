@@ -140,20 +140,47 @@ object Similarity {
     * (nlist x dim longs per partition), one tiny shuffle of those
     * partials; centroids (nlist x dim doubles) live on the driver and ship
     * in the task closure. */
+  /** Driver-memory ceiling for the closure-shipped centroid matrix:
+    * nlist x dim doubles live on the driver and ride in every task closure,
+    * so the trainer refuses matrices above ~16M cells (~128 MB) — at dim
+    * 1024 that is nlist <= 16384, comfortably past the sqrt(n) sizing for
+    * n = 10^8 vectors. Beyond that an IVF index wants its centroids in a
+    * broadcast joined table, not a closure — out of scope here, guarded
+    * loudly instead of failing as an executor OOM mid-run. */
+  val MaxCentroidCells: Long = 1L << 24
+
+  /** sqrt(n) nlist auto-sizing (the standard IVF rule: probe cost and
+    * in-list scan cost balance at nlist ~ sqrt(n)), clamped to [1, maxNlist]. */
+  def ivfAutoNlist(n: Long, maxNlist: Int = 16384): Int =
+    math.max(1L, math.min(maxNlist.toLong, math.round(math.sqrt(math.max(n, 0L).toDouble)))).toInt
+
+  /** Rows a distributed vector consumer can use: id and vec non-null and no
+    * null elements inside the array. The per-row degradation contract:
+    * corrupt rows are DROPPED from index training/assignment (mirroring
+    * CosineSim, which scores corrupt rows as null) — never a task failure. */
+  private def cleanVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .where(col("id").isNotNull && col("vec").isNotNull &&
+        !exists(col("vec"), _.isNull))
+
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, iters: Int = 5): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val Scale = (1L << 20).toDouble
 
-    val vecs = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("vec")).as[(Long, Seq[Double])]
+    val vecs = cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
 
     var centroids: Array[Array[Double]] = vecs.toDF()
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nlist).as[(Long, Seq[Double])]
       .collect().map(_._2.toArray)
     if (centroids.isEmpty) return centroids // empty corpus: nothing to train
+    require(nlist.toLong * centroids(0).length <= MaxCentroidCells,
+      s"IVF centroid matrix nlist=$nlist x dim=${centroids(0).length} exceeds " +
+        s"$MaxCentroidCells cells — the closure-shipped driver-held centroids " +
+        "would dominate task size; lower nlist (ivfAutoNlist) or shard the index")
 
     for (_ <- 1 to iters) {
       val cs = centroids
@@ -164,8 +191,11 @@ object Similarity {
         val counts = new Array[Long](cs.length)
         it.foreach { case (_, v) =>
           val cid = nearestCentroid(v, cs)
+          // ragged rows (shorter than the trained dim) accumulate their
+          // prefix — same degradation as centroidScore's min-length dot
           var d = 0
-          while (d < dim) { sums(cid)(d) += math.round(v(d) * Scale); d += 1 }
+          val n = math.min(dim, v.length)
+          while (d < n) { sums(cid)(d) += math.round(v(d) * Scale); d += 1 }
           counts(cid) += 1
         }
         (0 until cs.length).iterator
@@ -233,13 +263,12 @@ object Similarity {
     import spark.implicits._
     val cs = trainIvfCentroids(corpus, idCol, vecCol, nlist, trainIters)
 
-    val assigned = corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec")).as[(Long, Seq[Double])]
+    val assigned = cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
       .mapPartitions(it => it.map { case (id, v) => (nearestCentroid(v, cs), id, v) })
       .toDF("cid", "id", "vec")
 
-    val probes = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec")).as[(Long, Seq[Double])]
+    val probes = cleanVectors(queries, idCol, vecCol)
+      .withColumnRenamed("id", "query_id").as[(Long, Seq[Double])]
       .flatMap { case (qid, v) => probeLists(v, cs, nprobe).map(c => (c, qid, v)) }
       .toDF("cid", "query_id", "query_vec")
 

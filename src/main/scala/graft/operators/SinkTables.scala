@@ -31,12 +31,20 @@ object SinkTables {
   /** errors.txt analogue (the abnormality channel). */
   def errors(docs: Dataset[ExtractedDoc]): DataFrame = lines(docs.toDF(), "errors")
 
-  /** embedded-file blobs manifest: (url, md5, name) — the DumpFile analogue
-    * (pdf/output.go:93-104); payloads live in the main table. */
+  /** embedded-file blob table: (url, md5, name, data) — the DumpFile
+    * analogue (pdf/output.go:93-104, one disk file per embedded payload
+    * named by its md5). `data` carries the payload bytes when the pipeline
+    * ran with `includeEmbedded = true` (ExtractPipeline.extractDocs); under
+    * the default it is null and the row is a manifest entry only. */
   def embedded(docs: Dataset[ExtractedDoc]): DataFrame =
     docs.toDF().select(col("url"),
-        posexplode(arrays_zip(col("embedded_md5"), col("embedded_name"))).as(Seq("idx", "e")))
-      .select(col("url"), col("e.embedded_md5").as("md5"), col("e.embedded_name").as("name"))
+        posexplode(arrays_zip(col("embedded_md5"), col("embedded_name"))).as(Seq("idx", "e")),
+        col("embedded_data"))
+      .select(col("url"), col("e.embedded_md5").as("md5"), col("e.embedded_name").as("name"),
+        // get is 0-based and null-safe for both a null column and (should
+        // the arrays ever disagree) an out-of-range index — never an ANSI
+        // INVALID_ARRAY_INDEX task failure
+        get(col("embedded_data"), col("idx")).as("data"))
 
   /** contents.txt analogue: (url, contents bytes + utf8 view). */
   def contents(docs: Dataset[ExtractedDoc]): DataFrame =

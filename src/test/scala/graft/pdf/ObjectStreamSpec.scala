@@ -74,6 +74,20 @@ class ObjectStreamSpec extends AnyFunSuite {
     assert(s(r.contents) == "Hello ObjStm\n")
   }
 
+  test("extractDocsWithPasswords threads objectStreams to the kernel (encrypted corpora are the post-1.5 ones)") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq((graft.sources.CrawlRow("test://a/objstm.pdf", ts, objStmPdf(), "", "en"),
+      null.asInstanceOf[String]))
+    val on = graft.operators.ExtractPipeline
+      .extractDocsWithPasswords(rows.toDS(), objectStreams = true).collect().head
+    assert(s(on.contents) == "Hello ObjStm\n", s(on.contents))
+    val off = graft.operators.ExtractPipeline
+      .extractDocsWithPasswords(rows.toDS()).collect().head
+    assert(s(off.contents) == "", s(off.contents)) // default = reference parity
+  }
+
   test("adversarial: self-referencing and cyclic containers degrade to null, never hang") {
     // container points at itself / two containers point at each other
     def entry(t: Int, off: Long, gen: Int): Array[Byte] = Array[Byte](
