@@ -293,13 +293,19 @@ object Similarity {
     * Sizing: candidate-pair volume is L x buckets x occupancy^2/2, i.e.
     * QUADRATIC in bucket occupancy — pair mining wants a small occupancy
     * (`occupancySizedBits(n, 32)`), unlike top-k search where per-query
-    * candidate volume is only linear in occupancy. */
+    * candidate volume is only linear in occupancy. Occupancy sizing bounds
+    * the EXPECTED bucket; `maxBlock` (Dedup.capBlocks, ON by default)
+    * additionally bounds the worst one — a dense embedding cluster (or a
+    * zero-vector pileup) lands in one bucket regardless of nBits. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double = 0.95,
-                            nBits: Int = 16, nTables: Int = 4): DataFrame = {
+                            nBits: Int = 16, nTables: Int = 4,
+                            maxBlock: Long = Dedup.DefaultMaxBlock): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val buckets = base.select(col("id"),
-      posexplode(signatures(col("vec"), nBits, nTables)).as(Seq("table_idx", "bucket")))
+    val buckets = Dedup.capBlocks(
+      base.select(col("id"),
+        posexplode(signatures(col("vec"), nBits, nTables)).as(Seq("table_idx", "bucket"))),
+      Seq("table_idx", "bucket"), maxBlock, "embedding_lsh_blocks")
     val a = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
     val b = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("table_idx", "bucket"))

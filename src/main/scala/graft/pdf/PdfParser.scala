@@ -403,7 +403,13 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
         val stream = if (obj.stream == null) Array.emptyByteArray else obj.stream
         var sp = 0 // stream read pointer
         def readWide(w: Int): Option[Long] = {
-          if (w < 0 || sp + w > stream.length) return None
+          // overflow-safe: `sp + w` wraps negative for W entries near 2^31
+          // (fuzz-found: a crafted /W [2147483647 ...] slipped past the
+          // additive bound and read off the end). The reference's ReadInt64
+          // fails the same inputs via a short reader.Read (utility.go:14-19)
+          // — minus its 2 GB make([]byte, width) allocation, and minus the
+          // makeslice panic a NEGATIVE width causes there (we degrade).
+          if (w < 0 || w > stream.length - sp) return None
           var v = 0L
           var i = 0
           while (i < w) { v = v * 256 + (stream(sp + i) & 0xff); i += 1 }

@@ -13,7 +13,7 @@ import graft.sources.CrawlCorpus.splitmix64
 class FuzzSpec extends AnyFunSuite {
 
   private def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
-    val kind = math.floorMod(splitmix64(seed), 9L).toInt
+    val kind = math.floorMod(splitmix64(seed), 12L).toInt
     val b = base.clone()
     def idx(k: Long): Int =
       if (b.length == 0) 0 else math.floorMod(splitmix64(seed ^ k), b.length.toLong).toInt
@@ -52,7 +52,25 @@ class FuzzSpec extends AnyFunSuite {
         o1.take(idx(9)) ++ b.drop(idx(11)) ++
           o2.take(math.floorMod(splitmix64(seed ^ 12), o2.length.toLong).toInt)
       case 7 => b ++ b // whole-document duplication (two bodies, two xrefs)
-      case _ => b.reverse
+      case 8 => b.reverse
+      case 9 => // inject an /ObjStm + xref-stream skeleton (round-3 widening:
+        // the type-2 expansion path gets its own structural tokens)
+        val tok = (" /Type /ObjStm /N 3 /First 5 /Extends 1 0 R " +
+          "/Type /XRef /W [1 4 2] /Index [0 6] /Prev 0 stream\n2 0 3 8 endstream").getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(13)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(13).min(b.length), b.length)
+      case 10 => // inject security-handler variants (V1/V2, R2/R3, crypt
+        // filters, exclusions) with /O /U key material tokens
+        val tok = (" /Encrypt <</Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+          "/O (0123456789abcdef0123456789abcdef) /U (fedcba9876543210fedcba9876543210) " +
+          "/StmF /StdCF /StrF /Identity /EFF /StdCF>> /Crypt /Identity ").getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(14)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(14).min(b.length), b.length)
+      case _ => // corrupt numeric fields: overwrite a digit run with a huge
+        // length-looking number (length bombs, offset bombs)
+        val tok = " 2147483647 999999999999999999 ".getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(15)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(15).min(b.length), b.length)
     }
   }
 
@@ -64,7 +82,7 @@ class FuzzSpec extends AnyFunSuite {
     assert(ms < 1000, s"$tag took $ms ms")
   }
 
-  test("mutation fuzz: fixture mutations (9 kinds), zero internal failures, all < 1 s") {
+  test("mutation fuzz: fixture mutations (12 kinds), zero internal failures, all < 1 s") {
     for (fi <- Fixtures.all.indices; s <- 0 until 100)
       check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
   }
@@ -73,6 +91,31 @@ class FuzzSpec extends AnyFunSuite {
     for (fi <- Fixtures.all.indices; s <- 0 until 50)
       check(mutate(Fixtures.all(fi)._2, 7777L + fi * 100000L + s),
         s"${Fixtures.names(fi)}#objstm#$s", objectStreams = true)
+  }
+
+  test("mutation fuzz seeded on a real ObjStm document (both expansion modes)") {
+    // the fixture corpus has no /ObjStm document; seed the mutator on the
+    // crafted one so the xref-stream decode + container expansion see
+    // structurally-broken inputs, not just token injections
+    val base = TestPdfs.objStmPdf()
+    for (s <- 0 until 300) {
+      check(mutate(base, 31337L + s), s"objstm-base#$s")
+      check(mutate(base, 61337L + s), s"objstm-base#on#$s", objectStreams = true)
+    }
+  }
+
+  test("mutation fuzz on encrypted.pdf with the real and a wrong password") {
+    val base = Fixtures.bytes("encrypted.pdf")
+    for (s <- 0 until 300) {
+      val m = mutate(base, 91337L + s)
+      val t0 = System.nanoTime()
+      val r1 = PdfExtract.parse(m) // empty password (the fixture's)
+      val r2 = PdfExtract.parse(m, "wrong")
+      val ms = (System.nanoTime() - t0) / 1e6
+      for (r <- Seq(r1, r2))
+        assert(r.failure == null || !r.failure.startsWith("internal:"), s"enc#$s -> ${r.failure}")
+      assert(ms < 2000, s"enc#$s took $ms ms")
+    }
   }
 
   test("random blobs with a pdf header never fail internally") {
