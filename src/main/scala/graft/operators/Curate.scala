@@ -31,7 +31,8 @@ object Curate {
              minQualityI4: Long = 2000, minJaccard: Double = 0.9,
              shingleWords: Int = 3, packBudget: Int = 512,
              sharded: Boolean = false, packShards: Int = 64,
-             reliableCheckpoint: Boolean = false): DataFrame = {
+             reliableCheckpoint: Boolean = false,
+             starsCC: Boolean = false): DataFrame = {
     // 1. analysis gate — one map-local pass
     val analyzed = docs.select(
       col(idCol).cast("long").as("doc_id"),
@@ -56,8 +57,13 @@ object Curate {
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
     val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard)
       .select(col("id_a"), col("id_b"))
-    val clusters = Dedup.connectedComponents(pairs, uniq.select(col("doc_id").as("id")),
-      reliableCheckpoint = reliableCheckpoint)
+    // near-dup graphs are dense/shallow, so O(diameter) min-label is the
+    // default; `starsCC` switches to the O(log^2 n) alternating-star path
+    // for corpora with adversarial chain-shaped duplicate graphs
+    val ccIds = uniq.select(col("doc_id").as("id"))
+    val clusters =
+      if (starsCC) Dedup.connectedComponentsStars(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
+      else Dedup.connectedComponents(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
     val kept = uniq.join(
       clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
 

@@ -339,6 +339,77 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): each round rewires
+    * every node toward its neighborhood minimum, collapsing components into
+    * min-rooted stars in O(log^2 n) rounds REGARDLESS of diameter — the
+    * path for adversarial long-chain graphs where `connectedComponents`'
+    * min-label propagation (O(diameter) rounds) hits its maxIter bound.
+    * Same output contract: (id, cluster_id, is_kept).
+    *
+    * Per round: two grouped minimums + join-backs over the current edge
+    * set (compact long pairs only) and one exact set-equality convergence
+    * probe — no label sums, no hash fingerprints. */
+  def connectedComponentsStars(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50,
+                               reliableCheckpoint: Boolean = false): DataFrame = {
+    // canonical directed edges child u -> parent v with u > v
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    // large-star(u): every strictly-larger neighbor of u rewires to
+    // min(N(u) + {u}) — operates on the undirected neighbor view
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(nbrs.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star(u): u and all its smaller neighbors rewire to their min —
+    // operates on the canonical child->parent view directly
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(e.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    // exact set equality: equal distinct counts + empty difference
+    def same(a: DataFrame, b: DataFrame, aCount: Long, bCount: Long): Boolean =
+      aCount == bCount && a.except(b).head(1).isEmpty
+
+    var edges = checkpointDf(
+      canon(pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))),
+      reliableCheckpoint)
+    var count = edges.count()
+    var iter = 0
+    var converged = count == 0L
+    while (!converged && iter < maxIter) {
+      val next = checkpointDf(smallStar(largeStar(edges)), reliableCheckpoint)
+      val nextCount = next.count()
+      converged = same(next, edges, nextCount, count)
+      edges = next
+      count = nextCount
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter alternating rounds")
+
+    // star state: every non-root points directly at its component minimum
+    ids.select(col("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("cluster_id")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id").cast("long")).as("cluster_id"))
+      .withColumn("is_kept", col("id").cast("long") === col("cluster_id"))
+  }
+
   // ---------- n-gram Jaccard ----------
 
   /** Exact n-gram Jaccard similarity over banded-LSH candidates.

@@ -124,6 +124,40 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(pairs, ids, 1) == cc(pairs, ids, 7))
   }
 
+  test("large-star/small-star CC: a 300-deep chain converges in O(log^2 n) rounds, not O(diameter)") {
+    val n = 300L
+    val chain = (1L until n).map(i => (i, i + 1))
+    // min-label propagation needs ~n rounds on this graph (the loud-failure
+    // case); the alternating-star scheme closes it well inside 20
+    val out = Dedup.connectedComponentsStars(
+        chain.toDF("id_a", "id_b"), (1L to n).toDF("id"), maxIter = 20)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall(_._2 == 1L))
+    assert(out.count(_._3) == 1)
+  }
+
+  test("large-star/small-star CC == min-label CC on mixed graphs (plus singletons, empty input)") {
+    def both(pairs: Seq[(Long, Long)], ids: Seq[Long]) = {
+      val p = pairs.toDF("id_a", "id_b")
+      val i = ids.toDF("id")
+      val a = Dedup.connectedComponents(p, i).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val b = Dedup.connectedComponentsStars(p, i).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      (a, b)
+    }
+    // two components + singleton, with duplicate and reversed edges
+    val (a1, b1) = both(
+      Seq((2L, 1L), (1L, 2L), (2L, 3L), (7L, 5L), (5L, 6L), (6L, 7L)),
+      Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
+    assert(a1 == b1, s"label=$a1 stars=$b1")
+    val (a2, b2) = both(Seq.empty, Seq(4L, 8L))
+    assert(a2 == b2)
+    assert(Dedup.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[Long].toDF("id")).count() == 0)
+  }
+
   test("reliableCheckpoint: refuses without a checkpoint dir, then matches localCheckpoint with one") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 9L).toDF("id")
