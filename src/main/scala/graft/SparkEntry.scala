@@ -355,6 +355,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the same clustering through the O(log^2 n) alternating large-star/
+    // small-star scheme (Kiveris et al.) — diameter-independent round count
+    // for adversarial chain-shaped duplicate graphs; same oracle as q36
+    "q39_dedup_clusters_stars" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9).select(col("id_a"), col("id_b"))
+      Dedup.connectedComponentsStars(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("is_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full curation pipeline end-to-end (quality gate -> langid gate ->
     // exact dedup -> near-dup clusters -> token packing), hash-exact vs one
     // composed DuckDB oracle
@@ -730,6 +742,34 @@ object SparkEntry {
     // connected components as a recursive CTE over the same brute-force
     // jaccard pair set as q17 (min reachable id per node)
     "q36_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docs),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [text] END) AS s
+           FROM toks),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.s) * 10 >= len(b.s) * 9 AND len(b.s) * 10 >= len(a.s) * 9
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         walk(id, r) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT walk.id, e.dst FROM walk JOIN e ON e.src = walk.r)
+         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+           MIN(r) = id AS is_kept
+         FROM walk GROUP BY id ORDER BY doc_id""",
+
+    // identical oracle to q36: the algorithm changes (min-label vs
+    // alternating stars), the component labeling must not
+    "q39_dedup_clusters_stars" ->
       """WITH RECURSIVE docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),

@@ -103,6 +103,7 @@ object GraftFunctionSet {
     "html_text" -> (args => HtmlText(arity("html_text", 1)(args).head)),
     "graft_text" -> (args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }),
     "simhash64" -> (args => SimHash64(arity("simhash64", 1)(args).head)),
+    "simhash_md5" -> (args => SimHashMd5(arity("simhash_md5", 1)(args).head)),
     "fingerprint64" -> (args => Fingerprint64(arity("fingerprint64", 1)(args).head)),
     "shingle_hashes" -> (args => {
       val a = arity("shingle_hashes", 2)(args)

@@ -54,6 +54,51 @@ object SketchKernel {
     out
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Oracle-portable 60-bit md5 SimHash: per-token hash = the top 60 bits
+    * of md5(token) (== `conv(substring(md5(t),1,15),16,10)` — 15 hex chars,
+    * big-endian, positive in a signed long), per-bit +/-1 votes over bits
+    * 0..59. Bit-identical to Dedup.simhashMd5Declarative
+    * (SketchExpressionsSpec) and to the DuckDB
+    * `CAST('0x' || substring(md5(t),1,15) AS BIGINT)` oracle arithmetic. */
+  def simhashMd5(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val md = md5Local.get()
+    val n = bytes.length
+    val votes = new Array[Int](60)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, tokStart, i - tokStart)
+        val d = md.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        val h = v >>> 4 // first 15 hex chars = top 60 bits
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out += (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** MinHash signature over word n-gram shingles. A shingle of n consecutive
     * tokens joined by single spaces is exactly the source byte range from
     * token i's start to token (i+n-1)'s end (split boundaries are single
@@ -171,6 +216,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash_md5 requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.simhashMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.simhashMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 = copy(child = newChild)
+  override def prettyName: String = "simhash_md5"
+}
+
 case class MinHashSig(child: Expression, shingleWords: Int, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -219,6 +277,8 @@ object SketchFunctions {
   /** DataFrame-API handles for the native sketch expressions. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def simhashMd5(c: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(c)))
   def minhashSig(c: Column, shingleWords: Int, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingleWords, k))
   def fingerprint64(c: Column): Column =

@@ -231,10 +231,13 @@ object Dedup {
   }
 
   /** `simhashPairs` over the oracle-portable md5 simhash (60 bits, 4 chunks
-    * of 15 — the radius-3 pigeonhole guarantee is unchanged). */
+    * of 15 — the radius-3 pigeonhole guarantee is unchanged). Hot path is
+    * the native codegen'd SimHashMd5 expression (bit-identical to
+    * `simhashMd5Declarative`; SketchExpressionsSpec). */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame =
-    simhashPairsOn(df.select(col(idCol).as("id"), simhashMd5Declarative(col(textCol)).as("sh")),
+    simhashPairsOn(df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.simhashMd5(col(textCol)).as("sh")),
       nBits = 60, maxHamming = maxHamming, maxBlock = maxBlock)
 
   /** Chunk-blocked hamming pair mining over a precomputed (id, sh) frame:

@@ -100,6 +100,14 @@ class DedupSpec extends AnyFunSuite {
     // the over-popular blocks' pair set is gone (bounded by maxBlock^2 per
     // block, zero here), the under-cap pair survives
     assert(cappedPairs == Set((200L, 201L)), cappedPairs.take(10).toString)
+    // the drop is observable: the CollectMetrics node reports how many
+    // blocks were dropped and the largest block seen (identical docs share
+    // all 16 bands -> 16 over-popular blocks of size 60)
+    val metric = capped.queryExecution.observedMetrics
+      .collectFirst { case (name, row) if name.startsWith("minhash_lsh_blocks") => row }
+    assert(metric.isDefined, capped.queryExecution.observedMetrics.keys.toString)
+    assert(metric.get.getAs[Long]("dropped_blocks") == 16L, metric.get.toString)
+    assert(metric.get.getAs[Long]("max_block_n") == 60L, metric.get.toString)
 
     // generous default: blocks of honest duplicate-group size pass through
     val defCap = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 64, 16)

@@ -18,6 +18,27 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native simhash_md5 == declarative md5 simhash on all documents + edge cases") {
+    val cmp = docs.select(
+      Dedup.simhashMd5Declarative(col("text")).as("a"),
+      SketchFunctions.simhashMd5(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+    import spark.implicits._
+    val edge = Seq("", "word", "a  b", " lead", "trail ", "a b c d e", "ünïcode tökens")
+      .toDF("text")
+    edge.select(
+        Dedup.simhashMd5Declarative(col("text")).as("a"),
+        SketchFunctions.simhashMd5(col("text")).as("b"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // the value really is the top-60-bit md5 construction the DuckDB oracle
+    // recomputes: check one token against Spark's own md5()
+    val one = Seq("hello").toDF("text").select(
+      SketchFunctions.simhashMd5(col("text")).as("sh"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h")).head()
+    // a single token votes its own bits: simhash == token hash
+    assert(one.getLong(0) == one.getLong(1), one.toString)
+  }
+
   test("native minhash_sig == declarative signature on all documents") {
     val cmp = docs.select(
       Dedup.minhashSignatureDeclarative(Dedup.wordShingles(col("text"), 3), 32).as("a"),
