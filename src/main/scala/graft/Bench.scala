@@ -58,15 +58,43 @@ object Bench {
   }
 
   /** Pin the whole JVM (all threads) to the first nCpus CPUs (Linux;
-    * silently skipped if taskset is unavailable). */
-  private def setAffinity(nCpus: Int): Boolean =
+    * silently skipped if taskset is unavailable).
+    *
+    * `taskset -a` exits non-zero when ANY thread of the process vanishes
+    * while it iterates — a torn-down SparkSession from the previous
+    * measurement round leaves exactly such dying threads, so the exit code
+    * alone flags spurious failures (observed: pinned=false on an otherwise
+    * clean run). Success is therefore judged by QUERYING the resulting
+    * main-process mask, with a couple of retries for the racy case. */
+  private def setAffinity(nCpus: Int): Boolean = {
+    val expected = nCpus match {
+      case 1 => "0"
+      case 2 => "0,1"
+      case n => s"0-${n - 1}"
+    }
+    def currentMask(pid: Long): String =
+      try {
+        val q = new ProcessBuilder("taskset", "-p", "-c", pid.toString)
+          .redirectErrorStream(true).start()
+        val out = new String(q.getInputStream.readAllBytes(), "UTF-8")
+        q.waitFor()
+        out.trim.split(": ").last
+      } catch { case _: Throwable => "" }
     try {
       val pid = ProcessHandle.current().pid()
-      val p = new ProcessBuilder("taskset", "-a", "-p", "-c", s"0-${nCpus - 1}", pid.toString)
-        .redirectErrorStream(true).start()
-      p.getInputStream.readAllBytes()
-      p.waitFor() == 0
+      var attempt = 0
+      var ok = false
+      while (!ok && attempt < 3) {
+        val p = new ProcessBuilder("taskset", "-a", "-p", "-c", s"0-${nCpus - 1}", pid.toString)
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor()
+        ok = currentMask(pid) == expected
+        attempt += 1
+      }
+      ok
     } catch { case _: Throwable => false }
+  }
 
   /** Force the full extraction over a pre-materialized corpus; returns
     * (wall seconds, executor cpu seconds). Corpus synthesis is excluded —
