@@ -94,22 +94,28 @@ object Dedup {
     * two documents share is over-popular; exact duplicates share all keys,
     * so they survive unless the whole document is over-popular boilerplate.
     *
-    * Observability: the counting aggregate emits observed metrics
-    * (`dropped_blocks`, `max_block_n`) via a uniquely-named
-    * CollectMetrics node — visible to any QueryExecutionListener /
-    * `Observation` without forcing an extra job. */
+    * Shape: the filter is an ANTI join against the OVER-popular block list,
+    * not a semi join against the kept list — the offender list is bounded
+    * by rows/maxBlock (4096x smaller than "all blocks"), so AQE's runtime
+    * stats broadcast it and the rows side never reshuffles. The counting
+    * aggregate itself is one map-side-partial groupBy on compact keys.
+    *
+    * Observability: that aggregate emits observed metrics
+    * (`dropped_blocks`, `max_block_n`) via a uniquely-named CollectMetrics
+    * node — visible to any QueryExecutionListener / `Observation` without
+    * forcing an extra job. */
   private[operators] def capBlocks(rows: DataFrame, keys: Seq[String],
                                    maxBlock: Long, metric: String): DataFrame =
     if (maxBlock <= 0) rows
     else {
       val keyCols = keys.map(col)
-      val kept = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("block_n"))
+      val over = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("block_n"))
         .observe(s"${metric}_${blockMetricSeq.incrementAndGet()}",
           sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("dropped_blocks"),
           max(col("block_n")).as("max_block_n"))
-        .where(col("block_n") <= maxBlock)
+        .where(col("block_n") > maxBlock)
         .select(keyCols: _*)
-      rows.join(kept, keys, "left_semi")
+      rows.join(over, keys, "left_anti")
     }
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated
