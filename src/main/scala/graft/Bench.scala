@@ -139,7 +139,10 @@ object Bench {
     // two interleaved rounds, best per config: a fixed small-to-large order
     // hands the later configs a deeper JIT warmup and skews the ratios
     val configs = Seq(2, 8, 32)
-    val rounds = (1 to 2).flatMap(_ => configs.map(c => c -> measure(c, if (c == 2) benchDocs / 4 else benchDocs)))
+    // three interleaved rounds: best-of per config — one noisy-neighbor
+    // episode (documented host behavior) then contaminates at most one of
+    // three samples instead of one of two
+    val rounds = (1 to 3).flatMap(_ => configs.map(c => c -> measure(c, if (c == 2) benchDocs / 4 else benchDocs)))
     def best(c: Int): Meas = rounds.filter(_._1 == c).map(_._2).maxBy(_.dps)
     val m2 = best(2)
     val m8 = best(8)

@@ -565,7 +565,14 @@ final class PdfParser(val data: Array[Byte], val output: DocSink) {
               val container = getObject(containerNum)
               (container.value, container.stream) match {
                 case (d: PDict, stream) if stream != null =>
-                  val count = d.getInt("N").getOrElse(0)
+                  // /N is attacker-controlled: a crafted 2^31-ish value must
+                  // not size the pairs array (fuzz-found OutOfMemoryError:
+                  // "Requested array size exceeds VM limit"). Each header
+                  // pair needs >= 4 bytes ("N M "x2), so stream.length/4+1
+                  // bounds any count the stream could actually hold; a
+                  // too-large claimed N then just fails the header reads.
+                  val count = math.max(0,
+                    math.min(d.getInt("N").getOrElse(0).toLong, stream.length / 4L + 1L)).toInt
                   val first = d.getInt("First").getOrElse(0)
                   val header = new PdfParser(stream, null) // nested parser: errors dropped
                   val pairs = new Array[(Int, Long)](count)

@@ -4,15 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import graft.sources.CrawlCorpus.splitmix64
 
-/** Deterministic mutation fuzz over every reference fixture plus crafted
-  * adversarial shapes. Contract (the corpus is hostile by definition):
-  * NO document ever produces failure=internal — per-document isolation
-  * must degrade to the reference's error channel, not to an engine
-  * exception — and every parse stays under the reference's own implicit
-  * per-document latency bound (unit_test.go's 1 s timeout pattern). */
-class FuzzSpec extends AnyFunSuite {
-
-  private def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
+/** The deterministic mutation engine (12 kinds), shared by FuzzSpec and
+  * the large out-of-band sweeps (FuzzSweep). */
+object FuzzMutations {
+  def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
     val kind = math.floorMod(splitmix64(seed), 12L).toInt
     val b = base.clone()
     def idx(k: Long): Int =
@@ -73,6 +68,18 @@ class FuzzSpec extends AnyFunSuite {
           java.util.Arrays.copyOfRange(b, idx(15).min(b.length), b.length)
     }
   }
+}
+
+/** Deterministic mutation fuzz over every reference fixture plus crafted
+  * adversarial shapes. Contract (the corpus is hostile by definition):
+  * NO document ever produces failure=internal — per-document isolation
+  * must degrade to the reference's error channel, not to an engine
+  * exception — and every parse stays under the reference's own implicit
+  * per-document latency bound (unit_test.go's 1 s timeout pattern). */
+class FuzzSpec extends AnyFunSuite {
+
+  private def mutate(base: Array[Byte], seed: Long): Array[Byte] =
+    FuzzMutations.mutate(base, seed)
 
   private def check(payload: Array[Byte], tag: String, objectStreams: Boolean = false): Unit = {
     val t0 = System.nanoTime()

@@ -72,6 +72,32 @@ class ObjectStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial /N count bomb in an ObjStm degrades instead of OOM (fuzz-found)") {
+    // a claimed /N of 2^31-1 must not size the header-pairs array (observed:
+    // "OutOfMemoryError: Requested array size exceeds VM limit"); the count
+    // is bounded by what the stream bytes could actually hold
+    val content = "2 0 3 8 <</A 1>><</B 2>>"
+    val head = "%PDF-1.5\n"
+    val obj1 = s"1 0 obj\n<</Type /ObjStm /N 2147483647 /First 8 /Length ${content.length}>>\nstream\n$content\nendstream\nendobj\n"
+    def entry(t: Int, off: Long, gen: Int): Array[Byte] = Array[Byte](
+      t.toByte,
+      ((off >> 24) & 0xff).toByte, ((off >> 16) & 0xff).toByte,
+      ((off >> 8) & 0xff).toByte, (off & 0xff).toByte,
+      ((gen >> 8) & 0xff).toByte, (gen & 0xff).toByte)
+    val off1 = head.length
+    val off5 = off1 + obj1.length
+    val xrefData = entry(0, 0, 0xffff) ++ entry(1, off1, 0) ++ entry(2, 1, 0) ++ entry(2, 1, 1)
+    val obj5 = s"5 0 obj\n<</Type /XRef /Size 4 /W [1 4 2] /Root 2 0 R /Length ${xrefData.length}>>\nstream\n"
+    val tail = s"\nendstream\nendobj\nstartxref\n$off5\n%%EOF\n"
+    val payload = head.getBytes(ISO_8859_1) ++ obj1.getBytes(ISO_8859_1) ++
+      obj5.getBytes(ISO_8859_1) ++ xrefData ++ tail.getBytes(ISO_8859_1)
+    for (objectStreams <- Seq(false, true)) {
+      val r = PdfExtract.parse(payload, "", objectStreams)
+      assert(r.failure == null || !r.failure.startsWith("internal:"),
+        s"objectStreams=$objectStreams -> ${r.failure}")
+    }
+  }
+
   test("adversarial: self-referencing and cyclic containers degrade to null, never hang") {
     // container points at itself / two containers point at each other
     def entry(t: Int, off: Long, gen: Int): Array[Byte] = Array[Byte](
