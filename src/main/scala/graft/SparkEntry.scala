@@ -238,10 +238,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the oracle-portable sketch pair: md5-chain fingerprint + 60-bit md5
+    // simhash (both native codegen'd, both recomputable in DuckDB); the
+    // xxhash64-based fingerprint64/simhash64 stay the production fast path,
+    // proven by parity specs
     "q23_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-          Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"),
+          graft.functions.SketchFunctions.simhashMd5(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // ---- extraction pipeline over the synthesized crawl corpus ----
@@ -554,6 +558,24 @@ object SparkEntry {
          CAST(list_sum(list_transform(string_split(text, ' '),
            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate
          FROM documents ORDER BY doc_id""",
+
+    // both sketches recomputed natively in DuckDB: the md5 hash chain via
+    // list_reduce (acc = md5(acc || md5(token)), '' init emulated with
+    // list_prepend) and the 60-bit md5 simhash via the same per-bit vote
+    // the q18 oracle uses
+    "q23_fingerprint" ->
+      """WITH toks AS (SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> md5(t)) AS mh,
+             list_transform(string_split(text, ' '),
+               t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs
+           FROM documents)
+         SELECT doc_id,
+           list_reduce(list_prepend('', mh), (a, b) -> md5(a || b)) AS fingerprint,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(hs,
+                 h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM toks ORDER BY doc_id""",
 
     // Brute-force md5-simhash hamming: DuckDB recomputes the SAME 60-bit
     // simhash (per-token hash = top 15 hex chars of md5, per-bit majority

@@ -104,6 +104,7 @@ object GraftFunctionSet {
     "graft_text" -> (args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }),
     "simhash64" -> (args => SimHash64(arity("simhash64", 1)(args).head)),
     "simhash_md5" -> (args => SimHashMd5(arity("simhash_md5", 1)(args).head)),
+    "fingerprint_md5" -> (args => FingerprintMd5(arity("fingerprint_md5", 1)(args).head)),
     "fingerprint64" -> (args => Fingerprint64(arity("fingerprint64", 1)(args).head)),
     "shingle_hashes" -> (args => {
       val a = arity("shingle_hashes", 2)(args)

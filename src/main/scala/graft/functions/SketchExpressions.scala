@@ -181,6 +181,52 @@ object SketchKernel {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  private def toHex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** Oracle-portable rolling document fingerprint: the md5 hash chain over
+    * whitespace tokens in LOWERCASE-HEX-STRING space —
+    * acc_0 = "", acc_i = md5hex(acc_{i-1} ++ md5hex(token_i)) — i.e.
+    * bit-identical to the declarative
+    * `aggregate(transform(split(text,' '), md5), lit(""),
+    * (acc, h) => md5(concat(acc, h)))` and to DuckDB's
+    * `list_reduce(list_prepend('', list_transform(tokens, md5)),
+    * (a, b) -> md5(a || b))`. Chaining through the hex STRING (not raw
+    * digest bytes) is what makes the construction expressible on every
+    * engine. Production code wanting raw speed uses `fingerprint64`. */
+  def fingerprintMd5(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val md = md5Local.get()
+    val n = bytes.length
+    var acc = Array.emptyByteArray // hex-string bytes of the running hash
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, tokStart, i - tokStart)
+        val tokenHex = toHex(md.digest())
+        md.reset()
+        md.update(acc)
+        md.update(tokenHex)
+        acc = toHex(md.digest())
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(acc)
+  }
+
   /** 64-bit rolling document fingerprint: the ordered hash-chain fold of
     * token hashes, bit-identical to the declarative
     * aggregate(transform(split(text,' '), xxhash64), FNV_OFFSET,
@@ -272,6 +318,19 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint64"
 }
 
+case class FingerprintMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"fingerprint_md5 requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.fingerprintMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.fingerprintMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintMd5 = copy(child = newChild)
+  override def prettyName: String = "fingerprint_md5"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   /** DataFrame-API handles for the native sketch expressions. */
@@ -283,6 +342,8 @@ object SketchFunctions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingleWords, k))
   def fingerprint64(c: Column): Column =
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(c)))
+  def fingerprintMd5(c: Column): Column =
+    ColumnBridge.column(FingerprintMd5(ColumnBridge.expression(c)))
   def shingleHashes(c: Column, shingleWords: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), shingleWords))
 }

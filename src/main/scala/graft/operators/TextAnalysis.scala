@@ -103,6 +103,17 @@ object TextAnalysis {
     aggregate(transform(split(textCol, " "), t => xxhash64(t)),
       lit(1469598103934665603L), (acc, h) => xxhash64(acc, h))
 
+  /** Oracle-portable fingerprint: the md5 hash chain in hex-string space
+    * (acc = md5(acc || md5(token))) — same order-sensitivity, but every
+    * engine with md5() can recompute it (DuckDB: list_reduce + md5). Native
+    * codegen'd; bit-identical to `fingerprintMd5Declarative`. */
+  def fingerprintMd5(textCol: Column): Column =
+    graft.functions.SketchFunctions.fingerprintMd5(textCol)
+
+  def fingerprintMd5Declarative(textCol: Column): Column =
+    aggregate(transform(split(textCol, " "), t => md5(t)),
+      lit(""), (acc, h) => md5(concat(acc, h)))
+
   /** Greedy token-budget packing, two-level: each language is salted into
     * `shards` deterministic sub-shards packed independently, and local pack
     * ids are interleaved (pack_id = local * shards + shard) so they stay

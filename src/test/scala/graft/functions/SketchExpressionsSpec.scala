@@ -55,6 +55,24 @@ class SketchExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native fingerprint_md5 == declarative md5 chain on all documents + edge cases") {
+    val cmp = docs.select(
+      graft.operators.TextAnalysis.fingerprintMd5Declarative(col("text")).as("a"),
+      SketchFunctions.fingerprintMd5(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+    import spark.implicits._
+    Seq("", "word", "a  b", " lead", "trail ", "ünïcode tökens")
+      .toDF("text")
+      .select(
+        graft.operators.TextAnalysis.fingerprintMd5Declarative(col("text")).as("a"),
+        SketchFunctions.fingerprintMd5(col("text")).as("b"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+    // pinned golden for the exact two-token chain (matches hashlib md5 fold)
+    val g = Seq("hello world").toDF("text")
+      .select(SketchFunctions.fingerprintMd5(col("text"))).head().getString(0)
+    assert(g == "df63fe575e5b30f5e7876be8d8e72df2", g)
+  }
+
   test("native fingerprint64 == declarative hash-chain fold on all documents") {
     val cmp = docs.select(
       graft.operators.TextAnalysis.fingerprintDeclarative(col("text")).as("a"),
