@@ -131,14 +131,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Idempotent: a name already present in the session registry is left
-    * alone (re-registering identical builders is a no-op that only spams
-    * `SimpleFunctionRegistry` replacement WARNs into every bench log). */
+  // Sessions this process already registered into: repeat calls (every
+  // bench/verify query run) skip entirely — no SimpleFunctionRegistry
+  // replacement WARN spam. Unlike a per-name existence check, the FIRST
+  // call still registers with REPLACE semantics, so a stale builder from
+  // an older jar (or a user UDF squatting on a graft name) cannot
+  // silently keep serving SQL callers. Weak keys: a stopped session's
+  // entry must not pin it in memory.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    GraftFunctionSet.all.foreach { case (name, builder) =>
-      if (!reg.functionExists(FunctionIdentifier(name)))
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      GraftFunctionSet.all.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, args => builder(args), "built-in")
+      }
     }
   }
 }

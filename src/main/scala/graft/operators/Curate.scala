@@ -75,14 +75,9 @@ object Curate {
     // packShards; cum_tokens becomes per-(lang, shard), pack ids stay
     // globally unique and every pack still respects the budget).
     if (sharded) {
-      val shard = pmod(xxhash64(col("doc_id")), lit(packShards))
-      val w = Window.partitionBy(col("detected_lang"), col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      kept
-        .withColumn("shard", shard)
-        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
-        .withColumn("pack_id",
-          floor((col("cum_tokens") - lit(1)) / lit(packBudget)).cast("long") * packShards + col("shard"))
+      TextAnalysis.packShardedOn(
+          kept.select(col("doc_id"), col("detected_lang"), col("n_tokens")),
+          "detected_lang", "doc_id", packBudget, packShards)
         .select(col("doc_id"), col("detected_lang"), col("n_tokens"),
           col("cum_tokens"), col("pack_id"))
     } else {

@@ -85,38 +85,48 @@ object Dedup {
 
   private val blockMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Blocking-key frequency cap shared by every pair miner: blocks (grouped
-    * by `keys`) with more than `maxBlock` member rows are dropped from the
-    * self-join. The candidate-pair COUNT of a block is quadratic in its
-    * population — a cap is the only thing that bounds it (no join strategy
-    * can; AQE's skew split only rebalances partitions, it does not shrink
-    * the pair volume). A true near-dup pair is lost only when EVERY key the
-    * two documents share is over-popular; exact duplicates share all keys,
-    * so they survive unless the whole document is over-popular boilerplate.
+  /** Blocking-key frequency handling shared by every pair miner, as a
+    * split: blocks (grouped by `keys`) with at most `maxBlock` member rows
+    * go through the normal all-pairs self-join; OVER-popular blocks degrade
+    * to STAR candidates — every member paired with the block's minimum id —
+    * which is LINEAR in block size. The candidate-pair COUNT of a block is
+    * quadratic in its population and no join strategy can bound it (AQE's
+    * skew split only rebalances partitions, it does not shrink the pair
+    * volume); the star keeps the volume linear while the boilerplate group
+    * STILL collapses: every member is exactly-verified against the
+    * representative and connected components closes the cluster
+    * transitively. (Dropping over-popular blocks outright — the obvious
+    * cap — silently exempts exactly the template pages the cap exists for.)
     *
-    * Shape: the filter is an ANTI join against the OVER-popular block list,
-    * not a semi join against the kept list — the offender list is bounded
-    * by rows/maxBlock (4096x smaller than "all blocks"), so AQE's runtime
-    * stats broadcast it and the rows side never reshuffles. The counting
-    * aggregate itself is one map-side-partial groupBy on compact keys.
+    * Shape: the stats aggregate is one map-side-partial groupBy on compact
+    * keys; the under-cap filter is an ANTI join against the over-popular
+    * list (bounded by rows/maxBlock, so AQE's runtime stats broadcast it);
+    * the star side is an inner join against the same tiny list.
     *
-    * Observability: that aggregate emits observed metrics
-    * (`dropped_blocks`, `max_block_n`) via a uniquely-named CollectMetrics
+    * Observability: the stats aggregate emits observed metrics
+    * (`over_blocks`, `max_block_n`) via a uniquely-named CollectMetrics
     * node — visible to any QueryExecutionListener / `Observation` without
-    * forcing an extra job. */
-  private[operators] def capBlocks(rows: DataFrame, keys: Seq[String],
-                                   maxBlock: Long, metric: String): DataFrame =
-    if (maxBlock <= 0) rows
-    else {
-      val keyCols = keys.map(col)
-      val over = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("block_n"))
-        .observe(s"${metric}_${blockMetricSeq.incrementAndGet()}",
-          sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("dropped_blocks"),
-          max(col("block_n")).as("max_block_n"))
-        .where(col("block_n") > maxBlock)
-        .select(keyCols: _*)
-      rows.join(over, keys, "left_anti")
-    }
+    * forcing an extra job.
+    *
+    * Returns (under-cap rows, over-popular rows annotated with the block
+    * representative as `rep_*` copies of `repCols`). */
+  private[operators] def splitBlocks(rows: DataFrame, keys: Seq[String],
+                                     maxBlock: Long, metric: String,
+                                     repCols: Seq[String]): (DataFrame, DataFrame) = {
+    val keyCols = keys.map(col)
+    val repAggs = repCols.map(c => min_by(col(c), col(repCols.head)).as(s"rep_$c"))
+    val stats = rows.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("block_n"), repAggs: _*)
+      .observe(s"${metric}_${blockMetricSeq.incrementAndGet()}",
+        sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("over_blocks"),
+        max(col("block_n")).as("max_block_n"))
+      .where(col("block_n") > maxBlock)
+    val over = stats.select((keyCols ++ repCols.map(c => col(s"rep_$c"))): _*)
+    val under = rows.join(over.select(keyCols: _*), keys, "left_anti")
+    val starred = rows.join(over, keys)
+      .where(col(repCols.head) =!= col(s"rep_${repCols.head}"))
+    (under, starred)
+  }
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated
     * jaccard (signature agreement ratio).
@@ -130,11 +140,17 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                       minJaccard: Double = 0.5,
-                      maxBlock: Long = DefaultMaxBlock): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"),
-      graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
-    minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock)
+                      maxBlock: Long = DefaultMaxBlock,
+                      materialize: Boolean = true,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
+    // materialized: the signature table feeds BOTH verify join-backs
+    val sigs = materialized(
+      df.select(
+        col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig")),
+      materialize, reliableCheckpoint)
+    minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock,
+        materialize, reliableCheckpoint)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -143,27 +159,55 @@ object Dedup {
       .where(col("est_jaccard") >= minJaccard)
   }
 
+  /** Materialization point for the expensive sketch frames: a frame that
+    * feeds several plan consumers (self-join sides, the block-stats
+    * aggregate, verify join-backs) is RE-EXECUTED per consumer — measured
+    * 6-10 full sketch evaluations per candidate query, since exchange
+    * reuse only dedupes canonically-identical stages. One localCheckpoint
+    * bounds it at one evaluation; the stored rows are the compact sketch
+    * projection, never document text. `reliable = true` for production
+    * runs that must survive executor loss (see `checkpointDf`). */
+  private def materialized(df: DataFrame, on: Boolean, reliable: Boolean): DataFrame =
+    if (on) checkpointDf(df, reliable) else df
+
   /** Banded-LSH candidate pairs (id_a < id_b) — the shared candidate
     * generator for the exact-verified dedup operators. Only
     * (band_idx, band_hash, id) triples cross the self-join exchange: 3
     * bigints per (row, band), never signatures, shingles, or text.
     * Over-popular (band_idx, band_hash) blocks — boilerplate pages whose
-    * shared band would make the pair count quadratic — are dropped by the
-    * `capBlocks` frequency cap (ON by default; 0 disables). */
+    * shared band would make the pair count quadratic — degrade to LINEAR
+    * star candidates against the block's min id (`splitBlocks`; ON by
+    * default, `maxBlock = 0` disables). `materialize` checkpoints the
+    * banded triples so the signatures are computed once, not once per
+    * plan consumer. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleWords: Int, k: Int, bands: Int,
-                           maxBlock: Long = DefaultMaxBlock): DataFrame = {
-    val banded = df.select(
-        col(idCol).as("id"),
-        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
-      .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
-    val blocked = capBlocks(banded, Seq("band_idx", "band_hash"), maxBlock, "minhash_lsh_blocks")
-    val a = blocked.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    val b = blocked.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+                           maxBlock: Long = DefaultMaxBlock,
+                           materialize: Boolean = true,
+                           reliableCheckpoint: Boolean = false): DataFrame = {
+    val banded = materialized(
+      df.select(
+          col(idCol).as("id"),
+          graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
+        .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash"))),
+      materialize, reliableCheckpoint)
+    val keys = Seq("band_idx", "band_hash")
+    def selfJoinPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      val b = rows.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+      a.join(b, keys)
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val pairs =
+      if (maxBlock <= 0) selfJoinPairs(banded)
+      else {
+        val (under, starred) = splitBlocks(banded, keys, maxBlock, "minhash_lsh_blocks", Seq("id"))
+        selfJoinPairs(under).unionByName(
+          starred.select(least(col("rep_id"), col("id")).as("id_a"),
+            greatest(col("rep_id"), col("id")).as("id_b")))
+      }
+    pairs.dropDuplicates("id_a", "id_b")
   }
 
   // ---------- SimHash ----------
@@ -198,14 +242,12 @@ object Dedup {
     *
     * Skew: on template-heavy corpora one chunk value can dominate (e.g. a
     * boilerplate prefix fixing 16 simhash bits) and its block goes
-    * quadratic. `maxBlock > 0` applies the standard blocking-key frequency
-    * cap: (chunk_idx, chunk) blocks larger than maxBlock are dropped from
-    * the self-join. A pair is then missed only if EVERY chunk the two
-    * documents share is over-popular — exact duplicates additionally share
-    * all four chunks, so a cap of maxBlock still finds a pair unless all
-    * its shared chunks exceed the cap. AQE's skew-join split handles the
-    * residual partition-level imbalance; the cap bounds the pair COUNT,
-    * which no join strategy can. */
+    * quadratic. `maxBlock > 0` splits on block frequency: (chunk_idx,
+    * chunk) blocks larger than maxBlock degrade to linear star candidates
+    * against the block's min-id row (hamming-verified; see `splitBlocks`),
+    * bounding the pair COUNT — which no join strategy can — without
+    * exempting the template group from dedup. AQE's skew-join split
+    * handles the residual partition-level imbalance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame = {
     simhashPairsOn(df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
@@ -248,7 +290,9 @@ object Dedup {
 
   /** Chunk-blocked hamming pair mining over a precomputed (id, sh) frame:
     * 4 chunks of nBits/4, exact for radius <= 3 by pigeonhole. Only
-    * (chunk_idx, chunk, id, sh) rows cross the self-join exchange. */
+    * (chunk_idx, chunk, id, sh) rows cross the self-join exchange.
+    * Over-popular chunk blocks degrade to star candidates against the
+    * block's min-id row (hamming-verified like every other candidate). */
   private def simhashPairsOn(hashed: DataFrame, nBits: Int,
                              maxHamming: Int, maxBlock: Long): DataFrame = {
     val chunkBits = nBits / 4
@@ -256,15 +300,27 @@ object Dedup {
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftrightunsigned", col("sh"), c * chunkBits).bitwiseAND(lit(mask)))).as(Seq("chunk_idx", "chunk")))
-    val blocked = capBlocks(chunked, Seq("chunk_idx", "chunk"), maxBlock, "simhash_blocks")
-    val a = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = blocked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    val keys = Seq("chunk_idx", "chunk")
+    def verified(pairs: DataFrame): DataFrame = pairs
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    def selfJoinPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = rows.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+      verified(a.join(b, keys).where(col("id_a") < col("id_b")))
+    }
+    val pairs =
+      if (maxBlock <= 0) selfJoinPairs(chunked)
+      else {
+        val (under, starred) = splitBlocks(chunked, keys, maxBlock, "simhash_blocks", Seq("id", "sh"))
+        selfJoinPairs(under).unionByName(verified(
+          starred.select(
+            least(col("rep_id"), col("id")).as("id_a"),
+            greatest(col("rep_id"), col("id")).as("id_b"),
+            col("rep_sh").as("sh_a"), col("sh").as("sh_b"))))
+      }
+    pairs.dropDuplicates("id_a", "id_b")
   }
 
   // ---------- duplicate clusters ----------
@@ -443,10 +499,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, minJaccard: Double = 0.5,
                         k: Int = 64, bands: Int = 16,
-                        maxBlock: Long = DefaultMaxBlock): DataFrame = {
-    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock)
-    val hashes = df.select(col(idCol).as("id"),
-      graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes"))
+                        maxBlock: Long = DefaultMaxBlock,
+                        materialize: Boolean = true,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
+    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock,
+      materialize, reliableCheckpoint)
+    // materialized: the shingle-hash table feeds BOTH verify join-backs
+    val hashes = materialized(
+      df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
+      materialize, reliableCheckpoint)
     cand
       .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))

@@ -172,13 +172,20 @@ object Similarity {
 
     val vecs = cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
 
-    var centroids: Array[Array[Double]] = vecs.toDF()
+    val sampled: Array[Array[Double]] = vecs.toDF()
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nlist).as[(Long, Seq[Double])]
       .collect().map(_._2.toArray)
-    if (centroids.isEmpty) return centroids // empty corpus: nothing to train
-    require(nlist.toLong * centroids(0).length <= MaxCentroidCells,
-      s"IVF centroid matrix nlist=$nlist x dim=${centroids(0).length} exceeds " +
+    if (sampled.isEmpty) return sampled // empty corpus: nothing to train
+    // the trained dimension is the WIDEST sampled vector, and shorter
+    // sampled vectors are zero-padded: `cs(0).length` alone would let a
+    // single ragged row that happens to md5-sort first silently truncate
+    // every centroid (and every later sum/score loop) to its length
+    val dim = sampled.iterator.map(_.length).max
+    var centroids: Array[Array[Double]] = sampled.map(a =>
+      if (a.length == dim) a else java.util.Arrays.copyOf(a, dim))
+    require(nlist.toLong * dim <= MaxCentroidCells,
+      s"IVF centroid matrix nlist=$nlist x dim=$dim exceeds " +
         s"$MaxCentroidCells cells — the closure-shipped driver-held centroids " +
         "would dominate task size; lower nlist (ivfAutoNlist) or shard the index")
 
@@ -294,24 +301,40 @@ object Similarity {
     * QUADRATIC in bucket occupancy — pair mining wants a small occupancy
     * (`occupancySizedBits(n, 32)`), unlike top-k search where per-query
     * candidate volume is only linear in occupancy. Occupancy sizing bounds
-    * the EXPECTED bucket; `maxBlock` (Dedup.capBlocks, ON by default)
+    * the EXPECTED bucket; `maxBlock` (Dedup.splitBlocks, ON by default)
     * additionally bounds the worst one — a dense embedding cluster (or a
-    * zero-vector pileup) lands in one bucket regardless of nBits. */
+    * zero-vector pileup) lands in one bucket regardless of nBits — by
+    * degrading it to LINEAR star candidates against the bucket's min id
+    * (cosine-verified like every other candidate, components close the
+    * cluster transitively). `materialize` checkpoints the compact
+    * (id, table, bucket) triples so the hyperplane signatures are computed
+    * once, not once per plan consumer. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double = 0.95,
                             nBits: Int = 16, nTables: Int = 4,
-                            maxBlock: Long = Dedup.DefaultMaxBlock): DataFrame = {
+                            maxBlock: Long = Dedup.DefaultMaxBlock,
+                            materialize: Boolean = true,
+                            reliableCheckpoint: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val buckets = Dedup.capBlocks(
-      base.select(col("id"),
-        posexplode(signatures(col("vec"), nBits, nTables)).as(Seq("table_idx", "bucket"))),
-      Seq("table_idx", "bucket"), maxBlock, "embedding_lsh_blocks")
-    val a = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
-    val b = buckets.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("table_idx", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val buckets0 = base.select(col("id"),
+      posexplode(signatures(col("vec"), nBits, nTables)).as(Seq("table_idx", "bucket")))
+    val buckets =
+      if (materialize) Dedup.checkpointDf(buckets0, reliableCheckpoint) else buckets0
+    val keys = Seq("table_idx", "bucket")
+    def selfJoinPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
+      val b = rows.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
+      a.join(b, keys).where(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"))
+    }
+    val cand = (
+      if (maxBlock <= 0) selfJoinPairs(buckets)
+      else {
+        val (under, starred) =
+          Dedup.splitBlocks(buckets, keys, maxBlock, "embedding_lsh_blocks", Seq("id"))
+        selfJoinPairs(under).unionByName(
+          starred.select(least(col("rep_id"), col("id")).as("id_a"),
+            greatest(col("rep_id"), col("id")).as("id_b")))
+      }).dropDuplicates("id_a", "id_b")
     cand
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))

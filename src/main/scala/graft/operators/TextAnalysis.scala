@@ -123,14 +123,23 @@ object TextAnalysis {
     * quality is unchanged (any greedy sequential packing is equally valid —
     * at most `shards` extra partially-filled tail packs per language). */
   def packTokensSharded(df: DataFrame, langCol: String, idCol: String,
-                        textCol: String, budget: Int = 512, shards: Int = 64): DataFrame = {
+                        textCol: String, budget: Int = 512, shards: Int = 64): DataFrame =
+    packShardedOn(
+      df.select(col(idCol), col(langCol), tokenCount(col(textCol)).as("n_tokens")),
+      langCol, idCol, budget, shards)
+
+  /** The sharded-packing core over a frame that already carries an
+    * `n_tokens` column (shared by `packTokensSharded` and Curate's sharded
+    * stage — ONE copy of the shard/window/pack_id formula). */
+  def packShardedOn(df: DataFrame, langCol: String, idCol: String,
+                    budget: Int, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shard = pmod(xxhash64(col(idCol)), lit(shards))
     val w = Window.partitionBy(col(langCol), col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(langCol), tokenCount(col(textCol)).as("n_tokens"))
+    df
       .withColumn("shard", shard)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
       .withColumn("pack_id",
         floor((col("cum_tokens") - lit(1)) / lit(budget)).cast("long") * shards + col("shard"))
       .drop("shard")

@@ -44,6 +44,16 @@ class CurateSpec extends AnyFunSuite {
     assert(run(2) == run(11))
   }
 
+  test("starsCC path: identical curation output to min-label CC") {
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+    val a = Curate.curate(withDups)
+      .orderBy("detected_lang", "doc_id").collect().map(_.toString).toSeq
+    val b = Curate.curate(withDups, starsCC = true)
+      .orderBy("detected_lang", "doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("sharded packing: same survivor set, budgets hold per pack, globally unique pack ids") {
     val budget = 256
     val plain = Curate.curate(docs, packBudget = budget).cache()
@@ -65,10 +75,17 @@ class CurateSpec extends AnyFunSuite {
         s"pack ${r.get(1)} lang ${r.get(0)} total $tok max-doc $mx")
     }
 
-    // pack ids never collide across shards (pack*shards + shard is injective)
-    val byPack = sharded.select("detected_lang", "pack_id", "doc_id").collect()
-      .groupBy(r => (r.getString(0), r.getLong(1)))
-    assert(byPack.nonEmpty)
+    // pack ids never collide across shards (pack_id = local*shards + shard
+    // is injective): every doc's pack_id must decode back to ITS OWN shard
+    // value, so no (lang, pack_id) group can mix docs from two shards
+    val withShard = sharded
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(8)))
+      .select("detected_lang", "pack_id", "shard").collect()
+    assert(withShard.nonEmpty)
+    withShard.foreach { r =>
+      assert(r.getLong(1) % 8 == r.getLong(2), r.toString) // pack_id mod shards == shard
+      assert(r.getLong(1) >= 0)
+    }
 
     // deterministic under repartitioning too
     def run(parts: Int) = Curate.curate(docs.repartition(parts), packBudget = budget,

@@ -82,7 +82,7 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
-  test("minhash band cap bounds the candidate count under template skew; under-cap blocks survive") {
+  test("minhash band cap: over-popular blocks degrade to LINEAR star candidates, under-cap blocks self-join") {
     // 60 identical boilerplate pages (every band over-popular) + one true
     // near-dup pair in its own small blocks
     val template = (0 until 60).map(i =>
@@ -97,16 +97,19 @@ class DedupSpec extends AnyFunSuite {
 
     val capped = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 64, 16, maxBlock = 10)
     val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the over-popular blocks' pair set is gone (bounded by maxBlock^2 per
-    // block, zero here), the under-cap pair survives
-    assert(cappedPairs == Set((200L, 201L)), cappedPairs.take(10).toString)
-    // the drop is observable: the CollectMetrics node reports how many
-    // blocks were dropped and the largest block seen (identical docs share
-    // all 16 bands -> 16 over-popular blocks of size 60)
+    // the template block's candidates are the LINEAR star against its min
+    // id — so the boilerplate group still dedups via verify + components —
+    // and the under-cap near-dup pair self-joins as before
+    val star = (1 until 60).map(i => (0L, i.toLong)).toSet
+    assert(cappedPairs == star + ((200L, 201L)),
+      s"extra=${(cappedPairs diff (star + ((200L, 201L)))).take(5)} missing=${((star + ((200L, 201L))) diff cappedPairs).take(5)}")
+    // observable: the CollectMetrics node reports the over-popular block
+    // count and the largest block (identical docs share all 16 bands ->
+    // 16 over-popular blocks of size 60)
     val metric = capped.queryExecution.observedMetrics
       .collectFirst { case (name, row) if name.startsWith("minhash_lsh_blocks") => row }
     assert(metric.isDefined, capped.queryExecution.observedMetrics.keys.toString)
-    assert(metric.get.getAs[Long]("dropped_blocks") == 16L, metric.get.toString)
+    assert(metric.get.getAs[Long]("over_blocks") == 16L, metric.get.toString)
     assert(metric.get.getAs[Long]("max_block_n") == 60L, metric.get.toString)
 
     // generous default: blocks of honest duplicate-group size pass through
@@ -114,7 +117,7 @@ class DedupSpec extends AnyFunSuite {
     assert(defCap.count() == 60L * 59 / 2 + 1) // 60 << DefaultMaxBlock
   }
 
-  test("ngramJaccardPairs under the band cap still verifies exactly") {
+  test("ngramJaccardPairs under the band cap: starred template group verifies and still dedups") {
     val template = (0 until 40).map(i =>
       (i.toLong, "identical boilerplate body words over and over for every page"))
     val pair = Seq(
@@ -123,7 +126,23 @@ class DedupSpec extends AnyFunSuite {
     val docs = (template ++ pair).toDF("doc_id", "text")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9, maxBlock = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(out == Set((300L, 301L, 1.0)), out.take(10).toString)
+    val star = (1 until 40).map(i => (0L, i.toLong, 1.0)).toSet
+    assert(out == star + ((300L, 301L, 1.0)), out.take(10).toString)
+    // ...and connected components then collapses the WHOLE template group
+    // through the star — the recall the old drop-the-block cap gave up
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9, maxBlock = 10)
+        .select(col("id_a"), col("id_b")),
+      docs.select(col("doc_id").as("id")))
+    assert(cc.where(col("cluster_id") === 0L).count() == 40L)
+  }
+
+  test("simhashPairs star path: an over-popular chunk block still pairs against its representative") {
+    val template = (0 until 30).map(i => (i.toLong, "same text every time"))
+    val docs = template.toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxBlock = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == (1 until 30).map(i => (0L, i.toLong, 0L)).toSet, out.take(5).toString)
   }
 
   test("deterministic across partitionings") {

@@ -102,6 +102,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.select("id").collect().map(_.getLong(0)).contains(100L))
   }
 
+  test("a ragged vector sampled FIRST cannot truncate the trained dimension") {
+    import spark.implicits._
+    // the init sample orders by md5(id); plant the ragged row at exactly the
+    // id whose md5 sorts first so it becomes centroids(0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ids = (0L until 20L)
+    val firstId = ids.minBy(id => md5hex(id.toString))
+    val rows = ids.map { i =>
+      if (i == firstId) (i, Seq(1.0f)) // ragged, sorts first in the sample
+      else (i, Seq.tabulate(8)(d => math.cos(i * 3.0 + d).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cs = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4, iters = 2)
+    // dim comes from the WIDEST sampled vector (ragged centroid zero-padded)
+    assert(cs.nonEmpty && cs.forall(_.length == 8), cs.map(_.length).toSeq.toString)
+    val out = Similarity.ivfTopK(corpus, corpus.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4, trainIters = 2)
+    assert(out.count() > 0)
+  }
+
   test("centroid-matrix driver ceiling: oversized nlist x dim fails loudly; auto-sizing stays under it") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
