@@ -54,4 +54,51 @@ class StatefulDedupSpec extends AnyFunSuite {
     assert(after2.count() == 30, "each url exactly once despite the re-fetch")
     assert(after2.select("url").distinct().count() == 30)
   }
+
+  test("streaming near-dup: chunk-blocked simhash matches across micro-batches, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_nd_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nd_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_nd_ck").toString
+
+    def sinkCount(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Throwable => -1L }
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("sh", LongType)))
+
+    def run(expectRows: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+        .as[(Long, Long)]
+      val matches = StatefulDedup.nearDupMatches(stream, maxHamming = 3, maxBlock = 8)
+      val q = matches.toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && sinkCount() < expectRows)
+        Thread.sleep(500)
+      q.stop()
+      q.awaitTermination(30000)
+    }
+
+    // delivery 1: two far-apart documents (hamming 64) -> no matches
+    Seq((1L, 0L), (2L, -1L)).toDF("id", "sh").write.mode("append").parquet(inDir)
+    run(expectRows = 0)
+    assert(sinkCount() <= 0)
+
+    // delivery 2: doc 3 at hamming 1 from doc 1 (state crossed the batch
+    // boundary via the checkpoint); doc 4 far from everything.
+    // sh=1 vs sh=0 share chunks 1..3 (chunk 0 differs: 1 vs 0) -> one
+    // match event per shared block = 3 rows, one distinct pair
+    Seq((3L, 1L), (4L, 0x00ff00ff00ff00ffL)).toDF("id", "sh")
+      .write.mode("append").parquet(inDir)
+    run(expectRows = 3)
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 3, out.mkString(","))
+    assert(out.toSet == Set((3L, 1L, 1)), out.mkString(","))
+  }
 }
