@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{ExtractPipeline, SinkTables}
+import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
+
+/** The production job — the corpus-scale equivalent of the reference CLI's
+  * `pdf extract <file> -o <outdir>` (main.go:44-55), run via spark-submit:
+  *
+  * {{{
+  * spark-submit --class graft.Extract app.jar \
+  *   <input: crawl parquet dir | synth:N> <output root> \
+  *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
+  *   [--object-streams] [--sinks] [--partitions N]
+  * }}}
+  *
+  * Per run: resume-filter the input against the committed output (exactly
+  * once per url, crash-safe — see TableIO), skew-aware salted extraction,
+  * one atomic snapshot commit of the documents batch, a metrics-table
+  * append of the per-partition lineage rows, and (with `--sinks`) the
+  * seven per-sink tables. A re-run over the same input is a no-op.
+  * Prints one JSON summary line on stdout.
+  */
+object Extract {
+
+  private case class Args(
+      input: String = null, outRoot: String = null,
+      batchId: String = null, password: String = "",
+      includeRaw: Boolean = false, includeEmbedded: Boolean = false,
+      objectStreams: Boolean = false, sinks: Boolean = false,
+      partitions: Int = 0)
+
+  private def parse(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--batch-id"         => a = a.copy(batchId = argv(i + 1)); i += 2
+        case "--password"         => a = a.copy(password = argv(i + 1)); i += 2
+        case "--partitions"       => a = a.copy(partitions = argv(i + 1).toInt); i += 2
+        case "--include-raw"      => a = a.copy(includeRaw = true); i += 1
+        case "--include-embedded" => a = a.copy(includeEmbedded = true); i += 1
+        case "--object-streams"   => a = a.copy(objectStreams = true); i += 1
+        case "--sinks"            => a = a.copy(sinks = true); i += 1
+        case other =>
+          if (a.input == null) a = a.copy(input = other)
+          else if (a.outRoot == null) a = a.copy(outRoot = other)
+          else sys.error(s"unexpected argument: $other")
+          i += 1
+      }
+    }
+    require(a.input != null && a.outRoot != null,
+      "usage: graft.Extract <input parquet dir | synth:N> <output root> [flags]")
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    // spark-submit owns master/executor config; default for bare local runs
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .getOrCreate()
+    import spark.implicits._
+
+    val input =
+      if (a.input.startsWith("synth:"))
+        CrawlCorpus.crawl(spark, a.input.stripPrefix("synth:").toLong, seed = 42L)
+      else spark.read.parquet(a.input).as[CrawlRow]
+
+    val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents")
+    val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
+
+    val pending = Resume.pending(input, docsTable)
+    val nPending = pending.count()
+    if (nPending == 0) {
+      println(s"""{"job":"graft-extract","pending":0,"committed":${docsTable.committedBatches.size},"note":"nothing to do: all input urls already committed"}""")
+      return
+    }
+
+    // deterministic batch id (stable across retries of the same pending
+    // set) unless the caller names one
+    val batchId =
+      if (a.batchId != null) a.batchId
+      else {
+        val r = pending.agg(min(col("url")), max(col("url")), count(lit(1))).head()
+        "batch-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(16)
+      }
+
+    val parts = if (a.partitions > 0) a.partitions else spark.sparkContext.defaultParallelism
+    // default path: skew-aware (salted repartition + dedicated big-payload
+    // pass); the opt-in columns ride the plain salted path
+    val docs =
+      if (!a.includeRaw && !a.includeEmbedded && !a.objectStreams)
+        ExtractPipeline.extractDocsSkewAware(pending, a.password, numPartitions = parts)
+      else ExtractPipeline.extractDocs(
+        ExtractPipeline.saltedRepartitionByUrl(pending, parts), a.password,
+        includeRaw = a.includeRaw, objectStreams = a.objectStreams,
+        includeEmbedded = a.includeEmbedded)
+
+    docsTable.commit(docs.toDF(), batchId)
+    metricsTable.commit(
+      ExtractPipeline.partitionMetrics(docs).withColumn("batch_id", lit(batchId)),
+      batchId)
+
+    if (a.sinks) {
+      val committed = docsTable.read(spark).where(col("url").isNotNull)
+      SinkTables.all(committed.as[graft.operators.ExtractedDoc]).foreach {
+        case (name, sinkDf) =>
+          new ParquetManifestTable(s"${a.outRoot}/$name").commit(sinkDf, batchId)
+      }
+    }
+
+    val stats = docsTable.read(spark)
+      .agg(count(lit(1)), sum(when(col("ok"), 1L).otherwise(0L))).head()
+    println(s"""{"job":"graft-extract","batch_id":"$batchId","pending":$nPending,"committed_rows":${stats.getLong(0)},"ok_rows":${stats.getLong(1)},"batches":${docsTable.committedBatches.size}}""")
+  }
+}
