@@ -38,4 +38,29 @@ class FuzzSweep extends AnyFunSuite {
     info(s"${done.get()} parses, ${failures.size()} failures")
     assert(failures.isEmpty, failures.stream().limit(10).toArray.mkString("\n"))
   }
+
+  test("40k-document HTML mutation sweep through the full pipeline router") {
+    assume(sys.env.get("GRAFT_SWEEP").contains("1"), "opt-in: GRAFT_SWEEP=1")
+    // mutated HTML payloads routed through extractOne (the isPdf router +
+    // HtmlExtract + per-doc isolation) — the non-PDF half of the corpus
+    val html = ("<html><head><title>t</title><script>not content</script></head>" +
+      "<body><div class=nav>boilerplate</div><p>real content paragraph with words</p>" +
+      "<table><tr><td>cell</td></tr></table><!-- comment --></body></html>").getBytes("ISO-8859-1")
+    val ts = new java.sql.Timestamp(0L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val done = new java.util.concurrent.atomic.AtomicLong(0)
+    java.util.stream.IntStream.range(0, 40000).parallel().forEach { i =>
+      val m = FuzzMutations.mutate(html, 777000L + i)
+      val t0 = System.nanoTime()
+      val d = graft.operators.ExtractPipeline.extractOne(
+        graft.sources.CrawlRow(s"test://sweep/$i/page.html", ts, m, "", "en"), "")
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (d.failure != null && d.failure.startsWith("internal:"))
+        failures.add(s"html#$i -> ${d.failure}")
+      if (ms >= 1000) failures.add(s"html#$i took $ms ms")
+      done.incrementAndGet()
+    }
+    info(s"${done.get()} extractions, ${failures.size()} failures")
+    assert(failures.isEmpty, failures.stream().limit(10).toArray.mkString("\n"))
+  }
 }
