@@ -12,14 +12,18 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   * spark-submit --class graft.Extract app.jar \
   *   <input: crawl parquet dir | synth:N> <output root> \
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
-  *   [--object-streams] [--sinks] [--partitions N]
+  *   [--object-streams] [--sinks] [--curate] [--partitions N]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
   * once per url, crash-safe — see TableIO), skew-aware salted extraction,
   * one atomic snapshot commit of the documents batch, a metrics-table
   * append of the per-partition lineage rows, and (with `--sinks`) the
-  * seven per-sink tables. A re-run over the same input is a no-op.
+  * seven per-sink tables; with `--curate` the whole training-data
+  * curation stage runs over everything committed so far and lands as a
+  * replace-style `curated` snapshot (quality/langid gates, exact +
+  * near-dup dedup, token packing). A re-run over the same input is a
+  * no-op.
   * Prints one JSON summary line on stdout.
   */
 object Extract {
@@ -29,7 +33,7 @@ object Extract {
       batchId: String = null, password: String = "",
       includeRaw: Boolean = false, includeEmbedded: Boolean = false,
       objectStreams: Boolean = false, sinks: Boolean = false,
-      partitions: Int = 0)
+      curate: Boolean = false, partitions: Int = 0)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -43,6 +47,7 @@ object Extract {
         case "--include-embedded" => a = a.copy(includeEmbedded = true); i += 1
         case "--object-streams"   => a = a.copy(objectStreams = true); i += 1
         case "--sinks"            => a = a.copy(sinks = true); i += 1
+        case "--curate"           => a = a.copy(curate = true); i += 1
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -106,6 +111,18 @@ object Extract {
     metricsTable.commit(
       ExtractPipeline.partitionMetrics(docs).withColumn("batch_id", lit(batchId)),
       batchId)
+
+    if (a.curate) {
+      // the full training-data stage over everything committed so far:
+      // quality gate -> langid -> exact dedup -> near-dup clusters -> token
+      // packing. A REPLACE-style snapshot per run (read with readLatest).
+      val committed = docsTable.read(spark)
+      val curated = graft.operators.Curate.curate(
+        committed.select(
+          xxhash64(col("url")).as("doc_id"),
+          decode(col("contents"), "UTF-8").as("text")))
+      new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
+    }
 
     if (a.sinks) {
       val committed = docsTable.read(spark).where(col("url").isNotNull)

@@ -78,6 +78,15 @@ final class ParquetManifestTable(rootDir: String) extends TableIO {
     require(batches.nonEmpty, s"no committed batches under $rootDir")
     spark.read.parquet(batches: _*)
   }
+
+  /** The newest committed batch only — the read shape for REPLACE-style
+    * tables (e.g. a curated snapshot recomputed per run), where `read`'s
+    * union-of-batches semantics would duplicate rows. */
+  def readLatest(spark: SparkSession): DataFrame = {
+    val batches = committedBatches
+    require(batches.nonEmpty, s"no committed batches under $rootDir")
+    spark.read.parquet(dataDir.resolve(batches.last).toString)
+  }
 }
 
 object Resume {

@@ -35,13 +35,44 @@ class ExtractMainSpec extends AnyFunSuite {
     Extract.main(Array(inDir, outDir, "--sinks", "--partitions", "4"))
     assert(new graft.sources.ParquetManifestTable(s"$outDir/documents").committedBatches.size == 1)
 
-    // delivery 2: input grows to 60 urls -> exactly the 20-url delta commits
-    CrawlCorpus.crawl(spark, 60, 42L).toDF().write.mode("overwrite").parquet(inDir)
-    Extract.main(Array(inDir, outDir, "--partitions", "4"))
+    // delivery 2: input grows to 60 urls plus 6 English article pages (2 of
+    // them exact duplicates) -> exactly the delta commits; --curate lands a
+    // replace-style curated snapshot over ALL committed documents
+    def article(i: Int, topic: String, variant: Int): graft.sources.CrawlRow = {
+      // long varied English body: near-dup variants differ in ONE word out
+      // of 200 (jaccard ~0.97 >= 0.9), same-variant copies are exact dups
+      val words = (1 to 40).flatMap(k =>
+        Seq("the", s"$topic$k", "and", "of", s"${topic}item$k"))
+      val tweaked = words.updated(100, s"variant$variant")
+      val para = "<p>" + tweaked.mkString(" ") + ".</p>"
+      graft.sources.CrawlRow(f"test://en/$i%03d/article.html",
+        new java.sql.Timestamp(0L),
+        s"<html><head><title>t</title></head><body><article>$para</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    // 1~5 near-dups (one word differs), 4+6 exact dups (same text, distinct
+    // urls), 2 and 3 unique -> 4 curated survivors
+    val english = Seq(
+      article(1, "alpha", 1), article(2, "beta", 1), article(3, "gamma", 1),
+      article(4, "delta", 1), article(5, "alpha", 2), article(6, "delta", 1))
+    CrawlCorpus.crawl(spark, 60, 42L).unionByName(english.toDS())
+      .toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "4", "--curate"))
     val table = new graft.sources.ParquetManifestTable(s"$outDir/documents")
     assert(table.committedBatches.size == 2)
     val all = table.read(spark)
-    assert(all.count() == 60, "each url exactly once across batches")
-    assert(all.select("url").distinct().count() == 60)
+    assert(all.count() == 66, "each url exactly once across batches")
+    assert(all.select("url").distinct().count() == 66)
+
+    val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated")
+      .readLatest(spark)
+    assert(curated.columns.toSet ==
+      Set("doc_id", "detected_lang", "n_tokens", "cum_tokens", "pack_id"))
+    // the synthetic pages have no English stopwords (langid 'und' gates
+    // them); the 6 articles survive the gates and near-dup dedup keeps one
+    // representative per cluster: {1,5}, {4,6}, {2}, {3}
+    assert(curated.count() == 4, curated.collect().mkString(","))
+    assert(curated.select("doc_id").distinct().count() == 4)
+    assert(curated.select("detected_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
   }
 }
