@@ -89,10 +89,14 @@ object Bench {
           .redirectErrorStream(true).start()
         p.getInputStream.readAllBytes()
         val rc = p.waitFor()
-        // mask match is authoritative (util-linux cpulist output); a clean
-        // exit also counts, for taskset builds that print a different
-        // format (busybox hex masks) — only both failing means unpinned
-        ok = currentMask(pid) == expected || rc == 0
+        // the queried mask is authoritative WHEN READABLE: it must equal
+        // the requested cpulist exactly (a cgroup cpuset that clips the
+        // request must NOT count as pinned — the scaling ratios would be
+        // computed from configs that never ran on the stated core counts).
+        // Only when the query itself yields nothing (non-util-linux
+        // taskset output) does the exit code decide.
+        val mask = currentMask(pid)
+        ok = if (mask.nonEmpty) mask == expected else rc == 0
         attempt += 1
       }
       ok

@@ -38,11 +38,15 @@ object Extract {
   private def parse(argv: Array[String]): Args = {
     var a = Args()
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"missing value for $flag")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--batch-id"         => a = a.copy(batchId = argv(i + 1)); i += 2
-        case "--password"         => a = a.copy(password = argv(i + 1)); i += 2
-        case "--partitions"       => a = a.copy(partitions = argv(i + 1).toInt); i += 2
+        case "--batch-id"         => a = a.copy(batchId = value("--batch-id")); i += 2
+        case "--password"         => a = a.copy(password = value("--password")); i += 2
+        case "--partitions"       => a = a.copy(partitions = value("--partitions").toInt); i += 2
         case "--include-raw"      => a = a.copy(includeRaw = true); i += 1
         case "--include-embedded" => a = a.copy(includeEmbedded = true); i += 1
         case "--object-streams"   => a = a.copy(objectStreams = true); i += 1
@@ -79,7 +83,9 @@ object Extract {
     val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
 
     val pending = Resume.pending(input, docsTable)
-    val nPending = pending.count()
+    // one input scan answers both the pending count and the batch identity
+    val pstat = pending.agg(count(lit(1)), min(col("url")), max(col("url"))).head()
+    val nPending = pstat.getLong(0)
     if (nPending == 0) {
       println(s"""{"job":"graft-extract","pending":0,"committed":${docsTable.committedBatches.size},"note":"nothing to do: all input urls already committed"}""")
       return
@@ -89,12 +95,9 @@ object Extract {
     // set) unless the caller names one
     val batchId =
       if (a.batchId != null) a.batchId
-      else {
-        val r = pending.agg(min(col("url")), max(col("url")), count(lit(1))).head()
-        "batch-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString.take(16)
-      }
+      else "batch-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${pstat.getString(1)}|${pstat.getString(2)}|$nPending".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(16)
 
     val parts = if (a.partitions > 0) a.partitions else spark.sparkContext.defaultParallelism
     // default path: skew-aware (salted repartition + dedicated big-payload
@@ -108,8 +111,12 @@ object Extract {
         includeEmbedded = a.includeEmbedded)
 
     docsTable.commit(docs.toDF(), batchId)
+    // downstream stages read the COMMITTED batch back instead of
+    // re-running the extraction plan (the dominant cost) per consumer
+    val committedBatch = docsTable.readBatch(spark, batchId)
     metricsTable.commit(
-      ExtractPipeline.partitionMetrics(docs).withColumn("batch_id", lit(batchId)),
+      ExtractPipeline.partitionMetrics(committedBatch.as[graft.operators.ExtractedDoc])
+        .withColumn("batch_id", lit(batchId)),
       batchId)
 
     if (a.curate) {
@@ -125,8 +132,9 @@ object Extract {
     }
 
     if (a.sinks) {
-      val committed = docsTable.read(spark).where(col("url").isNotNull)
-      SinkTables.all(committed.as[graft.operators.ExtractedDoc]).foreach {
+      // sink tables are APPEND tables: derive them from THIS batch only,
+      // so read()'s union-of-batches never duplicates earlier batches
+      SinkTables.all(committedBatch.as[graft.operators.ExtractedDoc]).foreach {
         case (name, sinkDf) =>
           new ParquetManifestTable(s"${a.outRoot}/$name").commit(sinkDf, batchId)
       }

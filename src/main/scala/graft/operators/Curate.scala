@@ -55,7 +55,10 @@ object Curate {
       gated.join(keepExact, Seq("doc_id"), "left_semi"), reliableCheckpoint)
 
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
-    val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard)
+    // (reliableCheckpoint forwarded: the miner's internal materialization
+    // points must honor the same durability mode as the CC rounds)
+    val pairs = Dedup.ngramJaccardPairs(uniq, "doc_id", "text", shingleWords, minJaccard,
+        reliableCheckpoint = reliableCheckpoint)
       .select(col("id_a"), col("id_b"))
     // near-dup graphs are dense/shallow, so O(diameter) min-label is the
     // default; `starsCC` switches to the O(log^2 n) alternating-star path

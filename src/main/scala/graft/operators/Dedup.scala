@@ -143,14 +143,11 @@ object Dedup {
                       maxBlock: Long = DefaultMaxBlock,
                       materialize: Boolean = true,
                       reliableCheckpoint: Boolean = false): DataFrame = {
-    // materialized: the signature table feeds BOTH verify join-backs
-    val sigs = materialized(
-      df.select(
-        col(idCol).as("id"),
-        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig")),
+    // ONE materialized signature table feeds candidate generation AND both
+    // verify join-backs — the minhash sketch is evaluated exactly once
+    val sigs = materializedSigs(df, idCol, textCol, shingleWords, k,
       materialize, reliableCheckpoint)
-    minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock,
-        materialize, reliableCheckpoint)
+    candidatesFromSigs(sigs, k, bands, maxBlock)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -170,6 +167,17 @@ object Dedup {
   private def materialized(df: DataFrame, on: Boolean, reliable: Boolean): DataFrame =
     if (on) checkpointDf(df, reliable) else df
 
+  /** The (id, sig) minhash table, checkpointed once so the sketch is
+    * evaluated exactly once no matter how many plan consumers read it. */
+  private def materializedSigs(df: DataFrame, idCol: String, textCol: String,
+                               shingleWords: Int, k: Int,
+                               materialize: Boolean, reliable: Boolean): DataFrame =
+    materialized(
+      df.select(
+        col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig")),
+      materialize, reliable)
+
   /** Banded-LSH candidate pairs (id_a < id_b) — the shared candidate
     * generator for the exact-verified dedup operators. Only
     * (band_idx, band_hash, id) triples cross the self-join exchange: 3
@@ -178,19 +186,21 @@ object Dedup {
     * shared band would make the pair count quadratic — degrade to LINEAR
     * star candidates against the block's min id (`splitBlocks`; ON by
     * default, `maxBlock = 0` disables). `materialize` checkpoints the
-    * banded triples so the signatures are computed once, not once per
-    * plan consumer. */
+    * (id, sig) table so the signatures are computed once, not once per
+    * plan consumer; the banded explode re-derives from it cheaply. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleWords: Int, k: Int, bands: Int,
                            maxBlock: Long = DefaultMaxBlock,
                            materialize: Boolean = true,
-                           reliableCheckpoint: Boolean = false): DataFrame = {
-    val banded = materialized(
-      df.select(
-          col(idCol).as("id"),
-          graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig"))
-        .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash"))),
-      materialize, reliableCheckpoint)
+                           reliableCheckpoint: Boolean = false): DataFrame =
+    candidatesFromSigs(
+      materializedSigs(df, idCol, textCol, shingleWords, k, materialize, reliableCheckpoint),
+      k, bands, maxBlock)
+
+  private def candidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                                 maxBlock: Long): DataFrame = {
+    val banded = sigs
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
     val keys = Seq("band_idx", "band_hash")
     def selfJoinPairs(rows: DataFrame): DataFrame = {
       val a = rows.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))

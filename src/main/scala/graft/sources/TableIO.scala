@@ -81,11 +81,22 @@ final class ParquetManifestTable(rootDir: String) extends TableIO {
 
   /** The newest committed batch only — the read shape for REPLACE-style
     * tables (e.g. a curated snapshot recomputed per run), where `read`'s
-    * union-of-batches semantics would duplicate rows. */
+    * union-of-batches semantics would duplicate rows. "Newest" is by
+    * manifest-entry commit TIME (ties by name), never by batch-id name
+    * order — content-hash batch ids sort arbitrarily. */
   def readLatest(spark: SparkSession): DataFrame = {
     val batches = committedBatches
     require(batches.nonEmpty, s"no committed batches under $rootDir")
-    spark.read.parquet(dataDir.resolve(batches.last).toString)
+    val latest = batches.maxBy { b =>
+      (Files.getLastModifiedTime(manifestDir.resolve(b + ".committed")).toMillis, b)
+    }
+    spark.read.parquet(dataDir.resolve(latest).toString)
+  }
+
+  /** One specific committed batch. */
+  def readBatch(spark: SparkSession, batchId: String): DataFrame = {
+    require(committedBatches.contains(batchId), s"batch $batchId not committed under $rootDir")
+    spark.read.parquet(dataDir.resolve(batchId).toString)
   }
 }
 

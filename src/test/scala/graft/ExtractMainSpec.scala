@@ -57,12 +57,18 @@ class ExtractMainSpec extends AnyFunSuite {
       article(4, "delta", 1), article(5, "alpha", 2), article(6, "delta", 1))
     CrawlCorpus.crawl(spark, 60, 42L).unionByName(english.toDS())
       .toDF().write.mode("overwrite").parquet(inDir)
-    Extract.main(Array(inDir, outDir, "--partitions", "4", "--curate"))
+    Extract.main(Array(inDir, outDir, "--partitions", "4", "--curate", "--sinks"))
     val table = new graft.sources.ParquetManifestTable(s"$outDir/documents")
     assert(table.committedBatches.size == 2)
     val all = table.read(spark)
     assert(all.count() == 66, "each url exactly once across batches")
     assert(all.select("url").distinct().count() == 66)
+
+    // sink tables are append tables derived from each batch's DELTA only:
+    // two --sinks runs must not duplicate batch-1 rows
+    val sinkContents = new graft.sources.ParquetManifestTable(s"$outDir/sink_contents").read(spark)
+    assert(sinkContents.count() == 66, "one contents row per url, no cross-batch duplication")
+    assert(sinkContents.select("url").distinct().count() == 66)
 
     val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated")
       .readLatest(spark)

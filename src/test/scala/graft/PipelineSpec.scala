@@ -98,6 +98,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.read(spark).select("url").distinct().count() == 30)
   }
 
+  test("TableIO.readLatest follows commit TIME, not batch-name order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tio_latest").toString
+    val t = new ParquetManifestTable(dir)
+    // content-hash batch ids sort arbitrarily: commit a LEXICOGRAPHICALLY
+    // LARGER name first, then a smaller one — latest must be the second
+    t.commit(Seq(("old", 1)).toDF("v", "n"), "batch-ffff")
+    Thread.sleep(20) // distinct manifest mtimes
+    t.commit(Seq(("new", 2)).toDF("v", "n"), "batch-0000")
+    assert(t.readLatest(spark).select("v").head().getString(0) == "new")
+    assert(t.readBatch(spark, "batch-ffff").select("v").head().getString(0) == "old")
+    assert(t.read(spark).count() == 2) // append view unions both
+  }
+
   test("includeRaw materializes the reference's raw sink; md5(raw) == raw_md5") {
     import spark.implicits._
     val docs = ExtractPipeline.extractDocs(corpus(20), includeRaw = true).collect()
