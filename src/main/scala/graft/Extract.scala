@@ -12,7 +12,8 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   * spark-submit --class graft.Extract app.jar \
   *   <input: crawl parquet dir | synth:N> <output root> \
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
-  *   [--object-streams] [--sinks] [--curate] [--partitions N]
+  *   [--object-streams] [--sinks] [--curate] [--partitions N] \
+  *   [--password-column COL]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -33,7 +34,8 @@ object Extract {
       batchId: String = null, password: String = "",
       includeRaw: Boolean = false, includeEmbedded: Boolean = false,
       objectStreams: Boolean = false, sinks: Boolean = false,
-      curate: Boolean = false, partitions: Int = 0)
+      curate: Boolean = false, partitions: Int = 0,
+      passwordColumn: String = null)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -47,6 +49,7 @@ object Extract {
         case "--batch-id"         => a = a.copy(batchId = value("--batch-id")); i += 2
         case "--password"         => a = a.copy(password = value("--password")); i += 2
         case "--partitions"       => a = a.copy(partitions = value("--partitions").toInt); i += 2
+        case "--password-column"  => a = a.copy(passwordColumn = value("--password-column")); i += 2
         case "--include-raw"      => a = a.copy(includeRaw = true); i += 1
         case "--include-embedded" => a = a.copy(includeEmbedded = true); i += 1
         case "--object-streams"   => a = a.copy(objectStreams = true); i += 1
@@ -74,10 +77,11 @@ object Extract {
       .getOrCreate()
     import spark.implicits._
 
+    val raw = if (a.input.startsWith("synth:")) null else spark.read.parquet(a.input)
     val input =
-      if (a.input.startsWith("synth:"))
+      if (raw == null)
         CrawlCorpus.crawl(spark, a.input.stripPrefix("synth:").toLong, seed = 42L)
-      else spark.read.parquet(a.input).as[CrawlRow]
+      else raw.select("url", "warc_ts", "html", "text", "lang").as[CrawlRow]
 
     val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents")
     val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
@@ -101,9 +105,25 @@ object Extract {
 
     val parts = if (a.partitions > 0) a.partitions else spark.sparkContext.defaultParallelism
     // default path: skew-aware (salted repartition + dedicated big-payload
-    // pass); the opt-in columns ride the plain salted path
+    // pass); the opt-in columns and per-row passwords ride the plain
+    // salted path
     val docs =
-      if (!a.includeRaw && !a.includeEmbedded && !a.objectStreams)
+      if (a.passwordColumn != null) {
+        // per-document passwords ride with the row (the reference takes -p
+        // per invocation; at corpus scale it is a column); null falls back
+        // to the corpus default
+        require(raw != null, "--password-column requires a parquet input")
+        val salted = ExtractPipeline.saltedRepartitionByUrl(pending, parts)
+          .toDF().join(raw.select(col("url"), col(a.passwordColumn).as("__pw")), Seq("url"), "left")
+        ExtractPipeline.extractDocsWithPasswords(
+          salted.select(
+              struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")).as("_1"),
+              col("__pw").as("_2"))
+            .as[(CrawlRow, String)],
+          defaultPassword = a.password,
+          objectStreams = a.objectStreams,
+          includeRaw = a.includeRaw, includeEmbedded = a.includeEmbedded)
+      } else if (!a.includeRaw && !a.includeEmbedded && !a.objectStreams)
         ExtractPipeline.extractDocsSkewAware(pending, a.password, numPartitions = parts)
       else ExtractPipeline.extractDocs(
         ExtractPipeline.saltedRepartitionByUrl(pending, parts), a.password,

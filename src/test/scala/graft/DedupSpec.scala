@@ -151,6 +151,16 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(pairs, ids, 1) == cc(pairs, ids, 7))
   }
 
+  test("starred candidates are deterministic across partitionings (min_by rep on unique ids)") {
+    val docs = ((0 until 30).map(i => (i.toLong, "boilerplate page body identical for all")) ++
+      Seq((900L, "singular content with distinct words in it"),
+          (901L, "singular content with distinct words in it"))).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.minhashLshCandidates(docs.repartition(parts), "doc_id", "text", 3, 64, 16, maxBlock = 8)
+        .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(2) == run(9))
+  }
+
   test("large-star/small-star CC: a 300-deep chain converges in O(log^2 n) rounds, not O(diameter)") {
     val n = 300L
     val chain = (1L until n).map(i => (i, i + 1))

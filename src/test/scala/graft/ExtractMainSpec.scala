@@ -81,4 +81,24 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(curated.select("doc_id").distinct().count() == 4)
     assert(curated.select("detected_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
   }
+
+  test("extract job with --password-column: each row decrypts with its own password") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pw_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pw_out").toString
+    val enc = graft.pdf.Fixtures.bytes("encrypted.pdf")
+    val ts = new java.sql.Timestamp(0L)
+    Seq(
+      ("test://a/encrypted.pdf", ts, enc, "", "en", null.asInstanceOf[String]), // default "" decrypts
+      ("test://b/encrypted.pdf", ts, enc, "", "en", "wrong"))
+      .toDF("url", "warc_ts", "html", "text", "lang", "pw")
+      .write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--password-column", "pw", "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents").read(spark)
+      .orderBy("url").collect()
+    assert(docs.length == 2)
+    assert(docs(0).getAs[Boolean]("ok"), String.valueOf(docs(0).getAs[String]("failure")))
+    assert(!docs(1).getAs[Boolean]("ok"))
+    assert(docs(1).getAs[String]("failure") == "incorrect password")
+  }
 }
