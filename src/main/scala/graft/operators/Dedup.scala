@@ -375,29 +375,38 @@ object Dedup {
 
       // Convergence probe: the label sum in DECIMAL(38,0) — exact (no Long
       // wrap: a round whose total decrease is a multiple of 2^64 must not
-      // fake convergence) and null on an empty frame (an empty id set must
+      // fake convergence) and zero on an empty frame (an empty id set must
       // yield an empty result, not an NPE — e.g. a curation run whose
-      // gates drop every document).
-      def labelSum(df: DataFrame): java.math.BigDecimal = {
-        val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      // gates drop every document). The probe rides the checkpoint
+      // materialization as an OBSERVED metric, so each round is ONE
+      // driver-blocking job, not checkpoint + separate aggregate; if a
+      // checkpoint mode ever stops reporting metrics, a plain aggregate
+      // fallback keeps correctness.
+      def decOf(r: org.apache.spark.sql.Row): java.math.BigDecimal =
         if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+        val name = s"cc_label_sum_${blockMetricSeq.incrementAndGet()}"
+        val obs = df.observe(name, sum(col("label").cast("decimal(38,0)")).as("s"))
+        val ck = checkpointDf(obs, reliableCheckpoint)
+        val s = obs.queryExecution.observedMetrics.get(name) match {
+          case Some(row) => decOf(row)
+          case None => decOf(ck.agg(sum(col("label").cast("decimal(38,0)"))).head())
+        }
+        (ck, s)
       }
 
-      var labels = checkpointDf(
-        ids.select(col("id"), col("id").cast("long").as("label")), reliableCheckpoint)
-      var prevSum = labelSum(labels)
+      var (labels, prevSum) = checkpointWithSum(
+        ids.select(col("id"), col("id").cast("long").as("label")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val next = checkpointDf(labels
+        val (next, nextSum) = checkpointWithSum(labels
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")),
-          reliableCheckpoint)
-        val nextSum = labelSum(next)
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels = next
