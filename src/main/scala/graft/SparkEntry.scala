@@ -383,7 +383,50 @@ object SparkEntry {
         .where(col("kind") === "html")
         .select(col("url"), md5(col("contents")).as("text_md5"),
           length(decode(col("contents"), "UTF-8")).as("n_chars"))
-        .orderBy(col("url")))
+        .orderBy(col("url"))),
+
+    // cross-doc boilerplate line removal (CCNet/RefinedWeb pattern): lines =
+    // 8-token chunks (the synthetic text carries no newlines); the injected
+    // duplicate docs make every one of their chunks cross-doc boilerplate,
+    // exercising the all-lines-stripped NULL path too
+    "q40_boilerplate_lines" -> ((s, dir) =>
+      WebCuration.stripBoilerplate(docsWithDups(s, dir), "doc_id", "text",
+          chunk = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // PII detection + redaction; the corpus is PII-free, so deterministic
+    // emails/phones/IPs are injected into every 7th doc (same pattern as
+    // docsWithDups: known positives, SQL-reconstructible)
+    "q41_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact a"), col("doc_id").cast("string"),
+            lit("@ex.com or 555-010-1234 at 10.0.0."), (col("doc_id") % 200).cast("string")))
+          .otherwise(col("text")).as("text"))
+      withPii.select((col("doc_id") +: WebCuration.piiCounts(col("text")) :+
+          md5(WebCuration.piiRedact(col("text"))).as("redacted_md5")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality signals: intra-doc duplicate lines +
+    // top-bigram concentration
+    "q42_repetition" -> ((s, dir) =>
+      WebCuration.repetitionSignals(t(s, dir, "documents"), "doc_id", "text", chunk = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // per-domain rollup over deterministically synthesized urls (the
+    // documents table carries no url column; host extraction + the rollup
+    // are the operator under test)
+    "q43_domain_stats" -> ((s, dir) =>
+      WebCuration.domainStats(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://"), col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"))),
+        "url", "doc_id", "n_chars", "lang")
+        .orderBy(col("domain")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -841,6 +884,75 @@ object SparkEntry {
            FROM range(200), names)
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
-         ORDER BY url"""
+         ORDER BY url""",
+
+    // 8-token chunk "lines"; a line in >= 2 distinct docs is boilerplate;
+    // surviving lines re-joined in order (string_agg skips the NULLed-out
+    // hot lines; all-hot docs agg to NULL = Spark's clean_text NULL)
+    "q40_boilerplate_lines" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+         lin0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(t)-1)//8 + 1),
+             i -> {'idx': i, 'line': array_to_string(t[i*8+1:i*8+8], ' ')})) AS l
+           FROM toks),
+         lines AS (SELECT doc_id, l.idx AS idx, l.line AS line, md5(l.line) AS h FROM lin0),
+         hot AS (SELECT h FROM lines GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         flagged AS (SELECT doc_id, idx, line, h IN (SELECT h FROM hot) AS is_hot FROM lines)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN is_hot THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN is_hot THEN NULL ELSE line END, chr(10) ORDER BY idx)) AS clean_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    // same injected-PII rule, same RE2-and-Java-compatible patterns, same
+    // email -> ip -> phone replacement order ('g' = Spark's always-global)
+    "q41_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact a' || CAST(doc_id AS VARCHAR) ||
+                  '@ex.com or 555-010-1234 at 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+             ELSE text END AS t2 FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+         FROM d ORDER BY doc_id""",
+
+    // duplicate 8-token chunks (doc-local) + top-bigram concentration
+    "q42_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         lines AS (SELECT doc_id, list_transform(range(0, (len(t)-1)//8 + 1),
+             i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS ls FROM toks),
+         ls AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines FROM lines),
+         bi0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(0, len(t) - 1), i -> md5(t[i+1] || ' ' || t[i+2]))
+             ELSE [] END) AS h FROM toks),
+         bc AS (SELECT doc_id, h, COUNT(*) AS n FROM bi0 GROUP BY doc_id, h),
+         ba AS (SELECT doc_id, MAX(n) AS top_bigram_n, SUM(n) AS n_bigrams FROM bc GROUP BY doc_id)
+         SELECT l.doc_id, n_lines, n_dup_lines,
+           CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(floor(COALESCE(top_bigram_n, 0) * 10000.0
+             / greatest(COALESCE(n_bigrams, 0), 1)) AS BIGINT) AS top_bigram_frac_i4
+         FROM ls l LEFT JOIN ba USING (doc_id) ORDER BY doc_id""",
+
+    // identical url synthesis + identical host regex, then the rollup
+    "q43_domain_stats" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+           'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+         SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+         FROM d GROUP BY 1 ORDER BY domain"""
   )
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators beyond the per-document kernel: cross-doc
+  * boilerplate line removal, PII detection/redaction, intra-doc repetition
+  * signals (Gopher-style quality heuristics), and URL/domain rollups.
+  *
+  * All formulations are ANSI-SQL-portable (md5-keyed, integer-scaled
+  * ratios) so every operator is oracle-checked against DuckDB, and every
+  * cross-doc shuffle carries compact keys (16-byte md5 + counters), never
+  * document text — the same discipline as the sketch miners in [[Dedup]].
+  */
+object WebCuration {
+
+  /** Fixed-size token chunks standing in for "lines" on corpora whose text
+    * carries no newlines (the synthetic tables here); web text with real
+    * newlines would pass `split(text, "\n")` to the line operators
+    * directly. One chunk per `chunk` whitespace tokens, last chunk ragged.
+    */
+  def tokenLines(textCol: Column, chunk: Int): Column = {
+    val tokens = split(textCol, " ")
+    transform(
+      sequence(lit(0), floor((size(tokens) - lit(1)) / lit(chunk)).cast("int")),
+      i => array_join(slice(tokens, i * chunk + 1, lit(chunk)), " "))
+  }
+
+  /** Cross-document boilerplate line removal (the CCNet / RefinedWeb
+    * pattern): a line occurring in >= `minDocs` DISTINCT documents is
+    * boilerplate (navigation, cookie banners, template footers) and is
+    * struck from every document; surviving lines are re-joined in original
+    * order.
+    *
+    * Output: (id, n_lines, n_kept, clean_text) — clean_text is NULL when
+    * every line was boilerplate.
+    *
+    * Scale shape: the frequency pass groups by md5(line) and shuffles ONLY
+    * (line_md5, id) pairs; the hot-line list is bounded above by
+    * totalLines / minDocs and in practice tiny, so AQE broadcasts the
+    * join-back; reassembly shuffles each document's own surviving lines
+    * exactly once (that is the output itself, not overhead). No stage ever
+    * carries a line across the wire to be COUNTED — only to be returned. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       chunk: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")))
+      .withColumn("line_md5", md5(col("line")))
+    val hot = exploded
+      .select(col("line_md5"), col("id"))
+      .groupBy(col("line_md5"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line_md5"), lit(true).as("hot"))
+    exploded
+      .join(hot, Seq("line_md5"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("hot").isNull, struct(col("idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("joined"))
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("clean_text"))
+  }
+
+  // ---------- PII ----------
+
+  /** Conservative ASCII PII patterns, deliberately restricted to syntax
+    * valid AND equivalent in both java.util.regex and RE2 (no backrefs, no
+    * lookaround) so the DuckDB oracle replays them verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts: (n_emails, n_phones, n_ips). */
+  def piiCounts(textCol: Column): Seq[Column] = Seq(
+    regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
+    regexp_count(textCol, lit(Ipv4Re)).cast("long").as("n_ips"))
+
+  /** Redacted text: emails first (so their digit runs can't half-match the
+    * narrower patterns), then IPv4s (dotted quads), then phone numbers.
+    * Pure codegen'd regexp_replace chain — map-local, no shuffle. */
+  def piiRedact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // ---------- repetition signals ----------
+
+  /** Intra-document repetition signals (the Gopher quality-filter family):
+    * duplicate-line count and top-bigram concentration. Emits one row per
+    * document: (id, n_lines, n_dup_lines, top_bigram_n, n_bigrams,
+    * top_bigram_frac_i4).
+    *
+    * Scale shape: line duplication is computed doc-locally from the chunk
+    * array (no shuffle); bigram concentration explodes to (id, md5(bigram))
+    * pairs and runs two map-side-combined aggregations keyed on compact
+    * hashes — bigram STRINGS never leave the executor that read the row. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        chunk: Int = 8): DataFrame = {
+    val tokens = split(col(textCol), " ")
+    val lines = tokenLines(col(textCol), chunk)
+    val lineStats = df.select(
+      col(idCol).as("id"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"))
+    val bigramHashes = when(size(tokens) >= 2,
+      transform(sequence(lit(0), size(tokens) - 2),
+        i => md5(concat(element_at(tokens, i + 1), lit(" "), element_at(tokens, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val bigramStats = df
+      .select(col(idCol).as("id"), explode(bigramHashes).as("h"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    lineStats
+      .join(bigramStats, Seq("id"), "left")
+      .select(col("id"), col("n_lines"), col("n_dup_lines"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        floor(coalesce(col("top_bigram_n"), lit(0L)) * lit(10000.0d) /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L))).cast("long")
+          .as("top_bigram_frac_i4"))
+  }
+
+  // ---------- URL / domain ----------
+
+  /** Host component of an http(s) URL (empty string when absent). A plain
+    * anchored regex rather than parse_url so the DuckDB oracle replays the
+    * identical expression. */
+  def domainOf(urlCol: Column): Column =
+    regexp_extract(urlCol, "^https?://([^/]+)", 1)
+
+  /** Per-domain corpus rollup: document count, char volume, distinct
+    * languages, min id (a stable representative). One map-side-combined
+    * groupBy on the extracted host — the standard pre-aggregation for
+    * domain-level filtering/sampling decisions at crawl scale. */
+  def domainStats(df: DataFrame, urlCol: String, idCol: String,
+                  charsCol: String, langCol: String): DataFrame =
+    df.select(domainOf(col(urlCol)).as("domain"), col(idCol).as("id"),
+        col(charsCol).as("n_chars"), col(langCol).as("lang"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("id")).as("min_id"))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.WebCuration
+
+class WebCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("tokenLines chunks the token stream, ragged tail kept") {
+    val r = Seq("a b c d e").toDF("text")
+      .select(WebCuration.tokenLines(col("text"), 2).as("lines"))
+      .as[Seq[String]].head()
+    assert(r == Seq("a b", "c d", "e"))
+    val one = Seq("solo").toDF("text")
+      .select(WebCuration.tokenLines(col("text"), 8).as("lines"))
+      .as[Seq[String]].head()
+    assert(one == Seq("solo"))
+  }
+
+  test("stripBoilerplate removes cross-doc lines, keeps order, NULLs all-hot docs") {
+    // chunk=2 lines: doc1 [shared nav, body one], doc2 [shared nav, body two],
+    // doc3 [shared nav] (fully boilerplate), doc4 [body four] (untouched)
+    val df = Seq(
+      (1L, "shared nav body one"),
+      (2L, "shared nav body two"),
+      (3L, "shared nav"),
+      (4L, "body four")).toDF("doc_id", "text")
+    val out = WebCuration.stripBoilerplate(df, "doc_id", "text", chunk = 2, minDocs = 2)
+      .orderBy("id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 2L, 1L, "body one"),
+      (2L, 2L, 1L, "body two"),
+      (3L, 1L, 0L, null),
+      (4L, 1L, 1L, "body four")))
+  }
+
+  test("stripBoilerplate keeps multi-line survivors joined by newline in index order") {
+    val df = Seq(
+      (1L, "aa bb k1 k1 aa bb k2 k2"),
+      (2L, "aa bb")).toDF("doc_id", "text")
+    val out = WebCuration.stripBoilerplate(df, "doc_id", "text", chunk = 2, minDocs = 2)
+      .where($"id" === 1L).collect().head
+    // "aa bb" occurs in both docs (and twice in doc 1) -> both copies struck
+    assert(out.getLong(1) == 4L && out.getLong(2) == 2L)
+    assert(out.getString(3) == "k1 k1\nk2 k2")
+  }
+
+  test("pii counts and redaction") {
+    val df = Seq(
+      "mail a.b+c@test.org and x9@y.co end",
+      "call 555-123-4567 or visit 192.168.0.1 now",
+      "clean text only").toDF("text")
+    val out = df.select((WebCuration.piiCounts(col("text")) :+
+      WebCuration.piiRedact(col("text")).as("red")): _*).collect()
+    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 0L && out(0).getLong(2) == 0L)
+    assert(out(0).getString(3) == "mail <EMAIL> and <EMAIL> end")
+    assert(out(1).getLong(0) == 0L && out(1).getLong(1) == 1L && out(1).getLong(2) == 1L)
+    assert(out(1).getString(3) == "call <PHONE> or visit <IP> now")
+    assert(out(2).getString(3) == "clean text only")
+  }
+
+  test("pii redaction order: emails swallow their own digit runs first") {
+    val out = Seq("reach 12.34.56.78x and user555-010-1234@host.io ok")
+      .toDF("text")
+      .select(WebCuration.piiRedact(col("text")).as("red"),
+        WebCuration.piiCounts(col("text")).head)
+      .collect().head
+    // 12.34.56.78x: no \b between '8' and 'x', so NOT an IP (Java and RE2
+    // agree); the email containing a phone-shaped run must redact as ONE
+    // email, not leak a <PHONE>
+    assert(out.getString(0) == "reach 12.34.56.78x and <EMAIL> ok")
+  }
+
+  test("repetitionSignals: dup lines and top-bigram concentration") {
+    val df = Seq(
+      (1L, "a b a b a b"), // chunk=2 lines: [a b, a b, a b] -> 2 dups; bigrams: a b (x3), b a (x2)
+      (2L, "x y z w")      // no dups; bigrams all distinct
+    ).toDF("doc_id", "text")
+    val out = WebCuration.repetitionSignals(df, "doc_id", "text", chunk = 2)
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L) // n_lines, n_dup_lines
+    assert(out(0).getLong(3) == 3L && out(0).getLong(4) == 5L) // top bigram "a b" of 5
+    assert(out(0).getLong(5) == 6000L)
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 1L && out(1).getLong(4) == 3L)
+  }
+
+  test("domainOf + domainStats") {
+    val df = Seq(
+      (1L, "https://a.example.com/p/1", "en", 10L),
+      (2L, "http://a.example.com/q", "de", 20L),
+      (3L, "https://b.example.com/", "en", 5L),
+      (4L, "not a url", "en", 1L)).toDF("doc_id", "url", "lang", "n_chars")
+    val out = WebCuration.domainStats(df, "url", "doc_id", "n_chars", "lang")
+      .orderBy("domain").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq == Seq(
+      ("", 1L, 1L, 1L, 4L),
+      ("a.example.com", 2L, 30L, 2L, 1L),
+      ("b.example.com", 1L, 5L, 1L, 3L)))
+  }
+}
