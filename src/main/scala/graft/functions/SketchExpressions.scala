@@ -227,6 +227,43 @@ object SketchKernel {
     UTF8String.fromBytes(acc)
   }
 
+  /** Exact set-jaccard of two long arrays with DISTINCT-COUNT semantics —
+    * value-identical to size(array_intersect(a,b)) / size(array_union(a,b))
+    * for any null-free long arrays (duplicates collapse), without
+    * materializing either intermediate array: sort both inputs, one linear
+    * merge counting distinct intersection and union, one IEEE double
+    * divide (the same op the declarative form ends in, so bit-identical).
+    * Two empty inputs define jaccard 1.0 (identical empty sets; the
+    * declarative form would divide 0/0 — never reached on shingle arrays,
+    * which are always non-empty). */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    var union = 0L
+    while (i < x.length && j < y.length) {
+      val xv = x(i)
+      val yv = y(j)
+      union += 1
+      if (xv == yv) {
+        inter += 1
+        while (i < x.length && x(i) == xv) i += 1
+        while (j < y.length && y(j) == yv) j += 1
+      } else if (xv < yv) {
+        while (i < x.length && x(i) == xv) i += 1
+      } else {
+        while (j < y.length && y(j) == yv) j += 1
+      }
+    }
+    while (i < x.length) { val xv = x(i); union += 1; while (i < x.length && x(i) == xv) i += 1 }
+    while (j < y.length) { val yv = y(j); union += 1; while (j < y.length && y(j) == yv) j += 1 }
+    if (union == 0L) 1.0d else inter.toDouble / union.toDouble
+  }
+
   /** 64-bit rolling document fingerprint: the ordered hash-chain fold of
     * token hashes, bit-identical to the declarative
     * aggregate(transform(split(text,' '), xxhash64), FNV_OFFSET,
@@ -331,6 +368,23 @@ case class FingerprintMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint_md5"
 }
 
+case class JaccardSim(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernel.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernel.jaccardSim($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaccard_sim"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   /** DataFrame-API handles for the native sketch expressions. */
@@ -346,4 +400,6 @@ object SketchFunctions {
     ColumnBridge.column(FingerprintMd5(ColumnBridge.expression(c)))
   def shingleHashes(c: Column, shingleWords: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), shingleWords))
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

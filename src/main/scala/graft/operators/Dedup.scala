@@ -531,9 +531,11 @@ object Dedup {
     cand
       .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))
+      // native sorted-merge jaccard: value-identical to
+      // size(array_intersect)/size(array_union) (SketchExpressionsSpec
+      // parity) without materializing either intermediate array per pair
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        graft.functions.SketchFunctions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 }

@@ -55,6 +55,37 @@ class SketchExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native jaccard_sim == size(array_intersect)/size(array_union) on all doc pairs") {
+    // all consecutive-doc pairs (distinct shingle-hash arrays, the real
+    // verify input) plus crafted duplicate/disjoint/subset arrays
+    val sh = docs.select(col("doc_id"),
+      SketchFunctions.shingleHashes(col("text"), 3).as("h"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+    val cmp = pairs.select(
+      (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+        size(array_union(col("ha"), col("hb"))).cast("double")).as("decl"),
+      SketchFunctions.jaccardSim(col("ha"), col("hb")).as("nat"))
+    assert(cmp.count() > 0)
+    assert(cmp.where(col("decl") =!= col("nat")).count() == 0)
+
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 1L)),  // duplicates must collapse
+      (Seq(1L, 2L), Seq(3L, 4L)),          // disjoint -> 0.0
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),  // identical -> 1.0
+      (Seq(5L), Seq(1L, 2L, 3L, 4L, 5L)),  // subset
+      (Seq(Long.MinValue, Long.MaxValue, -1L), Seq(-1L, Long.MinValue))) // sign-sensitive order
+      .toDF("ha", "hb")
+    edge.select(
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))).cast("double")).as("decl"),
+        SketchFunctions.jaccardSim(col("ha"), col("hb")).as("nat"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+  }
+
   test("native fingerprint_md5 == declarative md5 chain on all documents + edge cases") {
     val cmp = docs.select(
       graft.operators.TextAnalysis.fingerprintMd5Declarative(col("text")).as("a"),
