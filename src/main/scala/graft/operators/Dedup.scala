@@ -355,16 +355,27 @@ object Dedup {
     * near-dup evidence into an actual dedup decision — transitive closure,
     * so A~B, B~C dedups C even when A!~C directly.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes min(own label, neighbors' labels); converges in O(component
-    * diameter) rounds (near-dup clusters are dense, so 2-4 in practice).
-    * Each round is one shuffle join + partial-agg min, labels are
-    * localCheckpoint'ed so the plan stays O(1) deep, and convergence is
-    * detected by the (monotonically decreasing) label sum — no extra join.
-    * For adversarial long-chain graphs the published alternating
-    * large-star/small-star scheme (Kiveris et al., "Connected Components
-    * in MapReduce and Beyond", SoCC 2014) drops the round count to
-    * O(log^2 n); dedup graphs do not need it. */
+    * Algorithm: FRONTIER min-label propagation (delta iteration) — each
+    * round only nodes whose label CHANGED last round push it; a neighbor
+    * whose label is stable already delivered that value in an earlier
+    * round, and labels only decrease, so the fixpoint is identical to full
+    * propagation (asserted against the brute-force recursive-CTE oracle in
+    * q36 and the stars variant in DedupSpec). Converges in O(component
+    * diameter) rounds (near-dup clusters are dense, so 2-4 in practice),
+    * but per-round work shrinks with the frontier: once a component
+    * stabilizes, its edges stop flowing through the message join — at
+    * corpus scale the late rounds touch only the few still-active chain
+    * tails instead of re-aggregating every edge.
+    *
+    * Each round is one frontier-filtered shuffle join + partial-agg min;
+    * labels are localCheckpoint'ed so the plan stays O(1) deep, and
+    * convergence is the exact changed-node COUNT hitting zero (an observed
+    * metric riding the checkpoint materialization — one driver-blocking
+    * job per round, no sum-wrap hazards). For adversarial long-chain
+    * graphs the published alternating large-star/small-star scheme
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) drops the round count to O(log^2 n); dedup graphs do not
+    * need it. */
   def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50,
                           reliableCheckpoint: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -373,49 +384,42 @@ object Dedup {
     try {
       edges.count() // materialize once; reused every round
 
-      // Convergence probe: the label sum in DECIMAL(38,0) — exact (no Long
-      // wrap: a round whose total decrease is a multiple of 2^64 must not
-      // fake convergence) and zero on an empty frame (an empty id set must
-      // yield an empty result, not an NPE — e.g. a curation run whose
-      // gates drop every document). The probe rides the checkpoint
-      // materialization as an OBSERVED metric, so each round is ONE
-      // driver-blocking job, not checkpoint + separate aggregate; if a
-      // checkpoint mode ever stops reporting metrics, a plain aggregate
+      // Checkpoint the (id, label, changed) state and read back the changed
+      // count as an observed metric; empty frames observe null -> 0 (an
+      // empty id set must yield an empty result, not an NPE). If a
+      // checkpoint mode ever stops reporting metrics, a plain count
       // fallback keeps correctness.
-      def decOf(r: org.apache.spark.sql.Row): java.math.BigDecimal =
-        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-      def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-        val name = s"cc_label_sum_${blockMetricSeq.incrementAndGet()}"
-        val obs = df.observe(name, sum(col("label").cast("decimal(38,0)")).as("s"))
+      def checkpointWithChanged(df: DataFrame): (DataFrame, Long) = {
+        val name = s"cc_changed_${blockMetricSeq.incrementAndGet()}"
+        val obs = df.observe(name, sum(when(col("changed"), 1L).otherwise(0L)).as("n"))
         val ck = checkpointDf(obs, reliableCheckpoint)
-        val s = obs.queryExecution.observedMetrics.get(name) match {
-          case Some(row) => decOf(row)
-          case None => decOf(ck.agg(sum(col("label").cast("decimal(38,0)"))).head())
+        val n = obs.queryExecution.observedMetrics.get(name) match {
+          case Some(row) => if (row.isNullAt(0)) 0L else row.getLong(0)
+          case None => ck.where(col("changed")).count()
         }
-        (ck, s)
+        (ck, n)
       }
 
-      var (labels, prevSum) = checkpointWithSum(
-        ids.select(col("id"), col("id").cast("long").as("label")))
+      var (labels, frontierN) = checkpointWithChanged(
+        ids.select(col("id"), col("id").cast("long").as("label"), lit(true).as("changed")))
       var iter = 0
-      var converged = false
-      while (!converged && iter < maxIter) {
+      while (frontierN > 0 && iter < maxIter) {
         val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .join(labels.where(col("changed")).select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val (next, nextSum) = checkpointWithSum(labels
+        val (next, n) = checkpointWithChanged(labels
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+            (coalesce(col("nbr_min"), col("label")) < col("label")).as("changed")))
         labels = next
+        frontierN = n
         iter += 1
       }
       // an unconverged result is silently-wrong dedup — fail loudly instead.
       // maxIter bounds the component DIAMETER; graphs deeper than that want
       // the large-star/small-star scheme cited above.
-      if (!converged)
+      if (frontierN > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds (component diameter > $maxIter)")
       labels.select(col("id"), col("label").as("cluster_id"),
