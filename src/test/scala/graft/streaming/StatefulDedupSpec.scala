@@ -101,4 +101,67 @@ class StatefulDedupSpec extends AnyFunSuite {
     assert(out.length == 3, out.mkString(","))
     assert(out.toSet == Set((3L, 1L, 1)), out.mkString(","))
   }
+
+  test("streaming near-dup == batch simhashPairs on the same corpus (ring never evicts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_par_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_par_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_par_ck").toString
+
+    // real corpus + injected duplicates (the q13/q17/q18 pattern)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = base.unionByName(
+      base.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+
+    // the batch miner's answer: canonical (min, max, hamming) pair set
+    val batch = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "injected duplicates must produce hamming-0 pairs")
+
+    // the same (id, simhash) rows through the stream in TWO deliveries
+    // (evens, then odds) so cross-delivery pairs must travel through the
+    // checkpointed keyed state
+    val hashed = docs.select(col("doc_id").as("id"),
+      graft.functions.SketchFunctions.simhash64(col("text")).as("sh"))
+    hashed.where(col("id") % 2 === 0).write.mode("append").parquet(inDir)
+
+    def distinctPairs(): Set[(Long, Long, Long)] =
+      try spark.read.parquet(outDir)
+        .select(least(col("id"), col("matched_id")).as("a"),
+          greatest(col("id"), col("matched_id")).as("b"),
+          col("hamming").cast("long").as("h"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      catch { case _: Throwable => Set.empty }
+
+    def run(expectPairs: Int): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.LongType))))
+        .parquet(inDir).as[(Long, Long)]
+      // maxBlock larger than the corpus: the FIFO ring never evicts, so the
+      // stream must find EXACTLY the batch pair set
+      val q = StatefulDedup.nearDupMatches(stream, maxHamming = 3, maxBlock = 1024).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && distinctPairs().size < expectPairs)
+        Thread.sleep(500)
+      q.stop()
+      q.awaitTermination(30000)
+    }
+
+    val evenBatch = batch.filter(p => p._1 % 2 == 0 && p._2 % 2 == 0)
+    run(expectPairs = evenBatch.size)
+    assert(distinctPairs() == evenBatch,
+      "after delivery 1 the stream must know exactly the even-id pairs")
+
+    hashed.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run(expectPairs = batch.size)
+    assert(distinctPairs() == batch,
+      "the streaming state path must equal the batch chunk-blocked miner")
+  }
 }
