@@ -118,7 +118,8 @@ object GraftFunctionSet {
       val a = arity("hyperplane_sigs", 3)(args)
       HyperplaneSigs(a(0), intLit("hyperplane_sigs", a(1)), intLit("hyperplane_sigs", a(2)))
     }),
-    "cosine_sim" -> (args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }))
+    "cosine_sim" -> (args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
+    "jaccard_sim" -> (args => { val a = arity("jaccard_sim", 2)(args); JaccardSim(a(0), a(1)) }))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -17,6 +17,23 @@ class PlanSpec extends AnyFunSuite {
   def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** All ShuffleExchangeExec nodes of the statically-planned query. With
+    * AQE on (the default) the adaptive root exposes no children and inserts
+    * exchanges lazily, so a bare `sparkPlan.collect` silently returns
+    * NOTHING — the frame must be planned with AQE off for the walk to see
+    * the exchanges. The thunk runs inside the AQE-off window. */
+  def collectShuffles(mk: => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("q01: filter and projection are pushed into the parquet scan") {
     val p = plan(SparkEntry.queries("q01_filter_project")(spark, sfDir))
     assert(p.contains("PushedFilters:"), p.take(2000))
@@ -72,13 +89,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard: no exchange ever carries the shingle arrays") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9)
-    // pre-AQE physical plan: every shuffle's payload is compact keys
-    // (band hashes, ids, jaccard) — the distinct-shingle-hash arrays reach
-    // the verify join via broadcast/local join-back, never an exchange
-    val shuffles = pairs.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+    // every shuffle's payload is compact keys (band hashes, ids, jaccard) —
+    // the distinct-shingle-hash arrays reach the verify join via
+    // broadcast/local join-back, never an exchange
+    val shuffles = collectShuffles(pairs)
+    assert(shuffles.nonEmpty)
     shuffles.foreach { s =>
       val names = s.output.map(_.name)
       assert(!names.exists(n => n == "hashes" || n.startsWith("sh_") || n == "text"),
@@ -96,10 +113,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup: candidate exchanges carry ids and buckets, never vectors") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.999, nBits = 2, nTables = 4)
-    val shuffles = pairs.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+    val shuffles = collectShuffles(pairs)
+    assert(shuffles.nonEmpty)
     shuffles.foreach { s =>
       val names = s.output.map(_.name)
       assert(!names.exists(n => n.startsWith("vec") && n != "vec_id" || n == "embedding"),
@@ -163,6 +180,35 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("boilerplate strip: the document text never reaches an exchange; counting is md5-keyed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.WebCuration.stripBoilerplate(docs, "doc_id", "text")
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    // the full document text column must never ride a shuffle (individual
+    // surviving LINES do, exactly once, as the reassembly output itself)
+    shuffles.foreach { s =>
+      assert(!s.output.map(_.name).contains("text"),
+        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
+    }
+    // the hot-line counting aggregate shuffles only (line_md5, id)-derived
+    // columns — no line payloads
+    assert(shuffles.exists(_.output.map(_.name).forall(n =>
+      n.startsWith("line_md5") || n.startsWith("id") || n.startsWith("count") || n.startsWith("n_docs"))),
+      shuffles.map(_.output.map(_.name).mkString("|")).mkString("\n"))
+  }
+
+  test("repetition signals: bigram aggregation shuffles md5 keys, never text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.WebCuration.repetitionSignals(docs, "doc_id", "text")
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.map(_.name).exists(n => n == "text" || n == "lines" || n == "ls"),
+        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
     }
   }
 
