@@ -385,6 +385,25 @@ object SparkEntry {
           length(decode(col("contents"), "UTF-8")).as("n_chars"))
         .orderBy(col("url"))),
 
+    // as-of join (the temporal join Spark lacks natively): each purchase
+    // event joined to the user's most recent view at-or-before it — the
+    // union-sort formulation (one shuffle, no range-join explosion);
+    // DuckDB's native ASOF LEFT JOIN is the independent oracle. The right
+    // side is pre-aggregated to one row per (user, ts) so tie-breaking is
+    // engine-independent.
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id"), col("view_ts"), col("view_event_id"))
+      AsofJoin.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+          Seq("view_event_id", "view_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // cross-doc boilerplate line removal (CCNet/RefinedWeb pattern): lines =
     // 8-token chunks (the synthetic text carries no newlines); the injected
     // duplicate docs make every one of their chunks cross-doc boilerplate,
@@ -885,6 +904,16 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // DuckDB's native ASOF LEFT JOIN as the independent oracle for the
+    // union-sort as-of implementation
+    "q37_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event_id, v.view_ts
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+         ORDER BY event_id""",
 
     // 8-token chunk "lines"; a line in >= 2 distinct docs is boilerplate;
     // surviving lines re-joined in order (string_agg skips the NULLed-out

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: most recent right row at-or-before, null when none, <= tie included") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05"), "p1"),
+      (2L, 10L, ts("2024-01-01 00:00:10"), "p2"), // exactly at a right ts -> included
+      (3L, 10L, ts("2024-01-01 00:00:02"), "p0"), // before any right row -> nulls
+      (4L, 99L, ts("2024-01-01 00:00:30"), "px")  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts", "tag")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:03"), 100L),
+      (10L, ts("2024-01-01 00:00:10"), 200L),
+      (10L, ts("2024-01-01 00:00:20"), 300L)
+    ).toDF("user_id", "rts", "view_id")
+
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("view_id"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 100L), (2L, 200L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("asofJoin ties at the max qualifying ts resolve to the greatest right struct") {
+    val left = Seq((1L, 5L, ts("2024-01-01 01:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 00:30:00"), 7L),
+      (5L, ts("2024-01-01 00:30:00"), 9L)).toDF("user_id", "rts", "view_id")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("view_id"))
+      .collect().head
+    assert(out.getLong(3) == 9L)
+  }
+
+  test("asofJoinSharded == asofJoin on the events table across shard widths") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+      .select(col("user_id"), col("view_ts"), col("view_event_id"))
+    val plain = AsofJoin.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+      Seq("view_event_id", "view_ts")).orderBy("event_id").collect()
+    assert(plain.nonEmpty && plain.exists(!_.isNullAt(4)) && plain.exists(_.isNullAt(4)),
+      "fixture must exercise both matched and unmatched rows")
+    // shard boundaries at 1h, 1d, and 1 week: carries must cross shards
+    for (shardSec <- Seq(3600L, 86400L, 604800L)) {
+      val sharded = AsofJoin.asofJoinSharded(purchases, views, Seq("user_id"), "ts", "view_ts",
+        Seq("view_event_id", "view_ts"), shardSeconds = shardSec).orderBy("event_id").collect()
+      assert(sharded.toSeq == plain.toSeq, s"shardSeconds=$shardSec")
+    }
+  }
+}
