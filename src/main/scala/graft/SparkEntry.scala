@@ -404,6 +404,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // bucketized range join: clicks inside each user's 3-day post-signup
+    // window — interval containment as an equi-join on (key, time bucket)
+    // with an exact BETWEEN prune, instead of the hot-key cross product a
+    // raw inequality join degenerates to; oracle = the naive inequality
+    // join in DuckDB
+    "q44_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("s"), (col("ts") + expr("INTERVAL 3 DAYS")).as("e"))
+      RangeJoin.rangeJoin(clicks, windows, Seq("user_id"), "ts", "s", "e",
+          bucketSeconds = 86400L)
+        .select(col("event_id"), col("signup_id"), col("user_id"), col("ts"))
+        .orderBy(col("event_id"), col("signup_id"))
+    }),
+
     // cross-doc boilerplate line removal (CCNet/RefinedWeb pattern): lines =
     // 8-token chunks (the synthetic text carries no newlines); the injected
     // duplicate docs make every one of their chunks cross-doc boilerplate,
@@ -914,6 +932,15 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event_id, v.view_ts
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
          ORDER BY event_id""",
+
+    // naive inequality join as the oracle for the bucketized range join
+    "q44_range_join" ->
+      """SELECT c.event_id, w.signup_id, c.user_id, c.ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         JOIN (SELECT event_id AS signup_id, user_id, ts AS s, ts + INTERVAL 3 DAY AS e
+               FROM events WHERE event_type = 'signup') w
+           ON c.user_id = w.user_id AND c.ts >= w.s AND c.ts <= w.e
+         ORDER BY event_id, signup_id""",
 
     // 8-token chunk "lines"; a line in >= 2 distinct docs is boilerplate;
     // surviving lines re-joined in order (string_agg skips the NULLed-out

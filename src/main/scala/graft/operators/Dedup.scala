@@ -85,6 +85,10 @@ object Dedup {
 
   private val blockMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Process-unique suffix for observed-metric node names (CollectMetrics
+    * names must be unique per query) — shared by the other operators. */
+  private[operators] def nextMetricSeq(): Int = blockMetricSeq.incrementAndGet()
+
   /** Blocking-key frequency handling shared by every pair miner, as a
     * split: blocks (grouped by `keys`) with at most `maxBlock` member rows
     * go through the normal all-pairs self-join; OVER-popular blocks degrade
