@@ -1004,7 +1004,7 @@ object SparkEntry {
            'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
              '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
            FROM documents)
-         SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         SELECT lower(regexp_extract(url, '(?i)^https?://([^/]+)', 1)) AS domain,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,

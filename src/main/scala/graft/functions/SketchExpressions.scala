@@ -237,8 +237,24 @@ object SketchKernel {
     * declarative form would divide 0/0 — never reached on shingle arrays,
     * which are always non-empty). */
   def jaccardSim(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toLongArray()
-    val y = b.toLongArray()
+    // null elements must match array_intersect/array_union: NULL is one
+    // distinct set element (toLongArray would NPE on GenericArrayData or
+    // silently read 0 from UnsafeArrayData)
+    def extract(ad: ArrayData): (Array[Long], Boolean) = {
+      val n = ad.numElements()
+      val out = new Array[Long](n)
+      var m = 0
+      var hasNull = false
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) hasNull = true
+        else { out(m) = ad.getLong(i); m += 1 }
+        i += 1
+      }
+      (if (m == n) out else java.util.Arrays.copyOf(out, m), hasNull)
+    }
+    val (x, nullA) = extract(a)
+    val (y, nullB) = extract(b)
     java.util.Arrays.sort(x)
     java.util.Arrays.sort(y)
     var i = 0
@@ -261,6 +277,8 @@ object SketchKernel {
     }
     while (i < x.length) { val xv = x(i); union += 1; while (i < x.length && x(i) == xv) i += 1 }
     while (j < y.length) { val yv = y(j); union += 1; while (j < y.length && y(j) == yv) j += 1 }
+    if (nullA && nullB) { inter += 1; union += 1 }
+    else if (nullA || nullB) union += 1
     if (union == 0L) 1.0d else inter.toDouble / union.toDouble
   }
 

@@ -29,8 +29,18 @@ object AsofJoin {
     val collide = left.columns.toSet.intersect(rightCols.toSet)
     require(collide.isEmpty, s"right value columns collide with left columns: $collide")
     val keyCols = keys.map(col)
-    val rPacked = right.select((keyCols :+ col(rightTs).as("__ts") :+
-      struct(rightCols.map(col): _*).as("__rval")): _*)
+    // SQL join null semantics: a right row with a null key or null
+    // timestamp can never match (NULL comparisons are false in the
+    // oracle's ASOF ON clause), so it must not enter the union — left on
+    // its own, the asc sort would place a null-__ts right row FIRST in
+    // the window and its value would be carried into every left row.
+    // Left rows always pass through: a null-key left row partitions with
+    // only other left rows (right nulls are gone) and a null-__ts left
+    // row sorts before every right row — both naturally carry NULL.
+    val rPacked = right
+      .where((keyCols.map(_.isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .select((keyCols :+ col(rightTs).as("__ts") :+
+        struct(rightCols.map(col): _*).as("__rval")): _*)
     val rType = rPacked.schema("__rval").dataType
     val lPacked = left.select((keyCols :+ col(leftTs).as("__ts") :+
       struct(left.columns.map(col): _*).as("__lval")): _*)
@@ -75,11 +85,16 @@ object AsofJoin {
     * equality across shard widths). */
   def asofJoinSharded(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
-                      rightCols: Seq[String], shardSeconds: Long = 86400L): DataFrame = {
+                      rightCols: Seq[String], shardSeconds: Long = 86400L,
+                      materialize: Boolean = true): DataFrame = {
     require(shardSeconds > 0, "shardSeconds must be positive")
     val keyCols = keys.map(col)
-    val u = packed(left, right, keys, leftTs, rightTs, rightCols)
+    // the union feeds three plan consumers (within-shard window, per-shard
+    // last values, shard list) — materialize it once instead of re-reading
+    // and re-tagging both inputs per consumer (the Dedup sketch-frame rule)
+    val u0 = packed(left, right, keys, leftTs, rightTs, rightCols)
       .withColumn("__shard", floor(unix_timestamp(col("__ts")) / lit(shardSeconds)).cast("long"))
+    val u = if (materialize) u0.localCheckpoint() else u0
 
     // carry within each (key, shard)
     val wIn = Window.partitionBy((keyCols :+ col("__shard")): _*)
@@ -95,7 +110,7 @@ object AsofJoin {
       .agg(max_by(col("__rval"), struct(col("__ts"), col("__rval"))).as("__last"))
     val wAcross = Window.partitionBy(keyCols: _*).orderBy(col("__shard").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val boundary = within.select((keyCols :+ col("__shard")): _*).distinct()
+    val boundary = u.select((keyCols :+ col("__shard")): _*).distinct()
       .join(shardLast, keys :+ "__shard", "left")
       .withColumn("__before", last(col("__last"), ignoreNulls = true).over(wAcross))
       .select((keyCols :+ col("__shard") :+ col("__before")): _*)

@@ -42,17 +42,22 @@ object WebCuration {
     * exactly once (that is the output itself, not overhead). No stage ever
     * carries a line across the wire to be COUNTED — only to be returned. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                       chunk: Int = 8, minDocs: Long = 2L): DataFrame = {
-    val exploded = df
+                       chunk: Int = 8, minDocs: Long = 2L,
+                       materialize: Boolean = true): DataFrame = {
+    // the exploded frame feeds BOTH the hot-line aggregate and the
+    // reassembly join — materialize it once so the tokenize+hash pass over
+    // the full text does not run twice (the Dedup sketch-frame rule)
+    val exploded0 = df
       .select(col(idCol).as("id"), posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")))
       .withColumn("line_md5", md5(col("line")))
+    val exploded = if (materialize) exploded0.localCheckpoint() else exploded0
     val hot = exploded
       .select(col("line_md5"), col("id"))
       .groupBy(col("line_md5"))
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("line_md5"), lit(true).as("hot"))
-    exploded
+    val agg = exploded
       .join(hot, Seq("line_md5"), "left")
       .groupBy(col("id"))
       .agg(
@@ -63,7 +68,13 @@ object WebCuration {
             array_sort(collect_list(when(col("hot").isNull, struct(col("idx"), col("line"))))),
             s => s.getField("line")),
           "\n").as("joined"))
-      .select(col("id"), col("n_lines"), col("n_kept"),
+    // one row per input doc even when text is NULL (posexplode of a null
+    // array emits nothing): re-anchor on the id set
+    df.select(col(idCol).as("id")).distinct()
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
   }
 
@@ -133,11 +144,14 @@ object WebCuration {
 
   // ---------- URL / domain ----------
 
-  /** Host component of an http(s) URL (empty string when absent). A plain
-    * anchored regex rather than parse_url so the DuckDB oracle replays the
-    * identical expression. */
+  /** Host component of an http(s) URL, lowercased (empty string when
+    * absent). Scheme and host are case-insensitive per RFC 3986, hence the
+    * (?i) flag (valid in both java.util.regex and RE2) and the lower() —
+    * otherwise 'HTTPS://Host/x' silently lands in the ""-domain bucket. A
+    * plain anchored regex rather than parse_url so the DuckDB oracle
+    * replays the identical expression. */
   def domainOf(urlCol: Column): Column =
-    regexp_extract(urlCol, "^https?://([^/]+)", 1)
+    lower(regexp_extract(urlCol, "(?i)^https?://([^/]+)", 1))
 
   /** Per-domain corpus rollup: document count, char volume, distinct
     * languages, min id (a stable representative). One map-side-combined

@@ -40,6 +40,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.getLong(3) == 9L)
   }
 
+  test("null semantics: null-ts/null-key right rows never match; null left rows pass through") {
+    val left = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 00:00:05"))),
+      (2L, Option(10L), Option.empty[java.sql.Timestamp]), // null left ts -> null carry
+      (3L, Option.empty[Long], Option(ts("2024-01-01 00:00:05"))) // null left key -> null carry
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(10L), Option.empty[java.sql.Timestamp], 42L), // null rts: must NOT carry
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:01")), 43L), // null key: must NOT match null-key left
+      (Option(10L), Option(ts("2024-01-01 00:00:03")), 44L)
+    ).toDF("user_id", "rts", "view_id")
+    for (sharded <- Seq(false, true)) {
+      val out = (if (sharded)
+          AsofJoin.asofJoinSharded(left, right, Seq("user_id"), "ts", "rts", Seq("view_id"), 3600L)
+        else AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("view_id")))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(out.toSeq == Seq((1L, 44L), (2L, -1L), (3L, -1L)), s"sharded=$sharded")
+    }
+  }
+
   test("asofJoinSharded == asofJoin on the events table across shard widths") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val purchases = ev.where(col("event_type") === "purchase")

@@ -48,6 +48,15 @@ class WebCurationSpec extends AnyFunSuite {
     assert(out.getString(3) == "k1 k1\nk2 k2")
   }
 
+  test("stripBoilerplate keeps a row for null-text docs (0 lines, null clean_text)") {
+    val df = Seq((1L, Option("aa bb")), (2L, Option("aa bb")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = WebCuration.stripBoilerplate(df, "doc_id", "text", chunk = 2, minDocs = 2)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       "mail a.b+c@test.org and x9@y.co end",
@@ -90,7 +99,7 @@ class WebCurationSpec extends AnyFunSuite {
   test("domainOf + domainStats") {
     val df = Seq(
       (1L, "https://a.example.com/p/1", "en", 10L),
-      (2L, "http://a.example.com/q", "de", 20L),
+      (2L, "HTTP://A.Example.COM/q", "de", 20L), // scheme/host case-insensitive
       (3L, "https://b.example.com/", "en", 5L),
       (4L, "not a url", "en", 1L)).toDF("doc_id", "url", "lang", "n_chars")
     val out = WebCuration.domainStats(df, "url", "doc_id", "n_chars", "lang")

@@ -84,6 +84,20 @@ class SketchExpressionsSpec extends AnyFunSuite {
           size(array_union(col("ha"), col("hb"))).cast("double")).as("decl"),
         SketchFunctions.jaccardSim(col("ha"), col("hb")).as("nat"))
       .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+
+    // null elements: NULL is one distinct set element, exactly as
+    // array_intersect/array_union treat it (the SQL-registered function
+    // must not NPE or silently zero-fill)
+    val nulls = Seq(
+      (Seq(Option(1L), None, Option(2L)), Seq(Option(2L), None)),
+      (Seq(Option(1L), None, None), Seq(Option(3L))),
+      (Seq(Option.empty[Long]), Seq(Option.empty[Long])))
+      .toDF("ha", "hb")
+    nulls.select(
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))).cast("double")).as("decl"),
+        SketchFunctions.jaccardSim(col("ha"), col("hb")).as("nat"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
   }
 
   test("native fingerprint_md5 == declarative md5 chain on all documents + edge cases") {
