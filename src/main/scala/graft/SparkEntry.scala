@@ -385,6 +385,13 @@ object SparkEntry {
           length(decode(col("contents"), "UTF-8")).as("n_chars"))
         .orderBy(col("url"))),
 
+    // fixed-QUOTA stratified sampling (q34 is fixed-RATE): k docs per
+    // language by smallest 52-bit md5 hash, via the bounded TopKByScore
+    // aggregate instead of a per-stratum window sort
+    "q45_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", "text", k = 10)
+        .orderBy(col("stratum"), col("h"), col("id"))),
+
     // as-of join (the temporal join Spark lacks natively): each purchase
     // event joined to the user's most recent view at-or-before it — the
     // union-sort formulation (one shuffle, no range-join explosion);
@@ -922,6 +929,16 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // independent formulation: a per-stratum window over the same 52-bit
+    // md5 hash (exactly double-representable, so the order is engine-exact)
+    "q45_stratified_sample" ->
+      """WITH d AS (SELECT lang AS stratum, doc_id AS id,
+           CAST('0x' || substring(md5(text), 1, 13) AS BIGINT) AS h FROM documents),
+         r AS (SELECT stratum, id, h,
+             ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h ASC, id ASC) AS rn
+           FROM d)
+         SELECT stratum, id, h FROM r WHERE rn <= 10 ORDER BY stratum, h, id""",
 
     // DuckDB's native ASOF LEFT JOIN as the independent oracle for the
     // union-sort as-of implementation

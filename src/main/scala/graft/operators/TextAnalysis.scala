@@ -145,6 +145,30 @@ object TextAnalysis {
       .drop("shard")
   }
 
+  /** Deterministic stratified sample: per stratum, exactly min(k, n) rows —
+    * the ones with the SMALLEST 52-bit md5 hash of `hashCol` (52 bits = 13
+    * hex chars, exactly representable in a double, so the hash order is
+    * bit-identical across engines). Reproducible, partitioning-independent,
+    * no RNG state — and unlike a per-stratum `row_number` window (which
+    * shuffles the whole stratum into one sort), the bounded `TopKByScore`
+    * aggregate keeps k rows per stratum per partition map-side, so only
+    * strata x k x partitions rows cross the exchange. The fixed-quota
+    * complement to q34's fixed-RATE md5-prefix sampling.
+    *
+    * Output: (stratum, id, h) — h is the sampling hash, exposed so a
+    * downstream rerun can verify the draw. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       hashCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long")
+    df.select(col(strataCol).as("stratum"), col(idCol).as("id"), h.as("h"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKFunctions.topKByScore(
+        -col("h").cast("double"), col("id"), k).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("p"))
+      .select(col("stratum"), col("p").getField("id").as("id"),
+        (-col("p").getField("score")).cast("long").as("h"))
+  }
+
   /** Convenience: the documents table with all analysis columns attached. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.select((col("*") +:

@@ -44,4 +44,29 @@ class TextAnalysisSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toSeq
     assert(fp(2) == fp(9))
   }
+
+  test("stratifiedSample: exact quota per stratum, h-order, partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    def draw(parts: Int) =
+      TextAnalysis.stratifiedSample(docs.repartition(parts), "lang", "doc_id", "text", k = 7)
+        .orderBy("stratum", "h", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = draw(2)
+    assert(a == draw(11), "the draw must not depend on physical partitioning")
+    // per stratum: exactly min(k, stratum size) rows, and they are the
+    // stratum's k smallest hashes (verified against a brute-force sort)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byStratum = a.groupBy(_._1)
+    byStratum.foreach { case (lang, rows) =>
+      assert(rows.size == math.min(7L, sizes(lang)), lang)
+    }
+    val brute = docs.select(col("lang"), col("doc_id"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (t._3, t._2)).take(7)
+      }.sortBy(t => (t._1, t._3, t._2))
+    assert(a == brute)
+  }
 }
