@@ -385,6 +385,18 @@ object SparkEntry {
           length(decode(col("contents"), "UTF-8")).as("n_chars"))
         .orderBy(col("url"))),
 
+    // overlapping context-window chunking (size 64, stride 48): the
+    // map-local preprocessing step that turns curated documents into
+    // training windows — no shuffle until the output itself
+    "q46_token_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), size = 64, stride = 48)).as("c"))
+        .select(col("doc_id"), col("c").getField("chunk_idx").as("chunk_idx"),
+          size(split(col("c").getField("chunk"), " ")).cast("long").as("n_tokens"),
+          md5(col("c").getField("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // fixed-QUOTA stratified sampling (q34 is fixed-RATE): k docs per
     // language by smallest 52-bit md5 hash, via the bounded TopKByScore
     // aggregate instead of a per-stratum window sort
@@ -929,6 +941,17 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // identical chunk rule via list slicing
+    "q46_token_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (SELECT doc_id, unnest(list_transform(range(0, (len(t)-1)//48 + 1),
+             i -> {'chunk_idx': i, 'chunk': array_to_string(t[i*48+1:i*48+64], ' ')})) AS c
+           FROM toks)
+         SELECT doc_id, CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(string_split(c.chunk, ' ')) AS BIGINT) AS n_tokens,
+           md5(c.chunk) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
 
     // independent formulation: a per-stratum window over the same 52-bit
     // md5 hash (exactly double-representable, so the order is engine-exact)

@@ -32,9 +32,24 @@ object Curate {
              shingleWords: Int = 3, packBudget: Int = 512,
              sharded: Boolean = false, packShards: Int = 64,
              reliableCheckpoint: Boolean = false,
-             starsCC: Boolean = false): DataFrame = {
+             starsCC: Boolean = false,
+             stripBoilerplate: Boolean = false,
+             boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 2L): DataFrame = {
+    // 0. optional cross-doc boilerplate line removal BEFORE the gates:
+    // template lines inflate quality scores and glue unrelated pages into
+    // near-dup clusters, so when enabled the whole pipeline (scores,
+    // dedup, packing token counts) runs on the stripped text. Docs whose
+    // every line was boilerplate get NULL text and fall out at the gate
+    // (the documented gate-null semantics). Off by default — the q38
+    // oracle covers the default path.
+    val input =
+      if (!stripBoilerplate) docs
+      else WebCuration.stripBoilerplate(docs, idCol, textCol,
+          chunk = boilerplateChunk, minDocs = boilerplateMinDocs)
+        .select(col("id").as(idCol), col("clean_text").as(textCol))
+
     // 1. analysis gate — one map-local pass
-    val analyzed = docs.select(
+    val analyzed = input.select(
       col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("detected_lang"),

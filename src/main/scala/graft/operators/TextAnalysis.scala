@@ -145,6 +145,22 @@ object TextAnalysis {
       .drop("shard")
   }
 
+  /** Overlapping token-window chunks (context-window preprocessing): chunk
+    * i covers tokens [i*stride, i*stride + size); starts advance by
+    * `stride` while they stay inside the token stream, so every token lands
+    * in at least one chunk and consecutive chunks overlap by size - stride
+    * tokens. Returns array<struct<chunk_idx:int, chunk:string>> — a pure
+    * map-local expression (explode downstream costs no shuffle). */
+  def tokenChunks(textCol: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val tokens = split(textCol, " ")
+    transform(
+      sequence(lit(0), floor((org.apache.spark.sql.functions.size(tokens) - lit(1)) / lit(stride)).cast("int")),
+      i => struct(i.as("chunk_idx"),
+        array_join(slice(tokens, i * stride + 1, lit(size)), " ").as("chunk")))
+  }
+
   /** Deterministic stratified sample: per stratum, exactly min(k, n) rows —
     * the ones with the SMALLEST 52-bit md5 hash of `hashCol` (52 bits = 13
     * hex chars, exactly representable in a double, so the hash order is

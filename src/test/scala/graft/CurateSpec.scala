@@ -94,4 +94,27 @@ class CurateSpec extends AnyFunSuite {
     assert(run(2) == run(11))
     plain.unpersist(); sharded.unpersist()
   }
+
+  test("stripBoilerplate stage: template lines removed before the gates, default path untouched") {
+    import spark.implicits._
+    // a template footer shared by every doc, long enough to dominate the
+    // 8-token chunks; bodies are distinct real doc texts
+    val footer = "visit our site for more info and subscribe to the newsletter today"
+    val base = docs.where(col("doc_id") < 40)
+      .select(col("doc_id"), concat(col("text"), lit(" " + footer + " " + footer)).as("text"))
+    val plain = Curate.curate(base)
+    val stripped = Curate.curate(base, stripBoilerplate = true)
+    // same survivor ids (bodies are what distinguishes docs)...
+    val pIds = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sIds = stripped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sIds.nonEmpty && sIds.subsetOf(pIds))
+    // ...but the stripped path counts fewer tokens per doc (footer gone)
+    val pTok = plain.select(sum("n_tokens")).head().getLong(0)
+    val sTok = stripped.select(sum("n_tokens")).head().getLong(0)
+    assert(sTok < pTok, s"stripped=$sTok plain=$pTok")
+    // flag off must stay byte-equal to the historical default (q38 oracle path)
+    val a = Curate.curate(base).orderBy("detected_lang", "doc_id").collect().toSeq
+    val b = plain.orderBy("detected_lang", "doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

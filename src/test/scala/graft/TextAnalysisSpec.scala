@@ -45,6 +45,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(2) == fp(9))
   }
 
+  test("tokenChunks: stride overlap, ragged tail, every token covered") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("a b c d e f g").toDF("text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), size = 4, stride = 2)).as("c"))
+      .select(col("c.chunk_idx"), col("c.chunk")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((0, "a b c d"), (1, "c d e f"), (2, "e f g"), (3, "g")))
+    val one = Seq("x").toDF("text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
+      .select(col("c.chunk")).as[String].collect().toSeq
+    assert(one == Seq("x"))
+  }
+
   test("stratifiedSample: exact quota per stratum, h-order, partitioning-independent") {
     import org.apache.spark.sql.functions._
     def draw(parts: Int) =
