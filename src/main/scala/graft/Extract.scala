@@ -35,7 +35,7 @@ object Extract {
       includeRaw: Boolean = false, includeEmbedded: Boolean = false,
       objectStreams: Boolean = false, sinks: Boolean = false,
       curate: Boolean = false, partitions: Int = 0,
-      passwordColumn: String = null)
+      passwordColumn: String = null, stripBoilerplate: Boolean = false)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -55,6 +55,7 @@ object Extract {
         case "--object-streams"   => a = a.copy(objectStreams = true); i += 1
         case "--sinks"            => a = a.copy(sinks = true); i += 1
         case "--curate"           => a = a.copy(curate = true); i += 1
+        case "--strip-boilerplate" => a = a.copy(stripBoilerplate = true); i += 1
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -147,7 +148,8 @@ object Extract {
       val curated = graft.operators.Curate.curate(
         committed.select(
           xxhash64(col("url")).as("doc_id"),
-          decode(col("contents"), "UTF-8").as("text")))
+          decode(col("contents"), "UTF-8").as("text")),
+        stripBoilerplate = a.stripBoilerplate)
       new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
     }
 

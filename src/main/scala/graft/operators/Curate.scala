@@ -37,16 +37,26 @@ object Curate {
              boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 2L): DataFrame = {
     // 0. optional cross-doc boilerplate line removal BEFORE the gates:
     // template lines inflate quality scores and glue unrelated pages into
-    // near-dup clusters, so when enabled the whole pipeline (scores,
-    // dedup, packing token counts) runs on the stripped text. Docs whose
-    // every line was boilerplate get NULL text and fall out at the gate
-    // (the documented gate-null semantics). Off by default — the q38
-    // oracle covers the default path.
+    // near-dup clusters, so when enabled the downstream pipeline (scores,
+    // dedup, packing token counts) runs on the stripped text. Exact dedup
+    // runs FIRST on the raw text: identical copies must collapse to one id
+    // before cross-doc line frequencies are counted, otherwise every line
+    // of a duplicated doc is "cross-doc" hot and the whole duplicate group
+    // self-destructs instead of keeping its representative. (The gates are
+    // pure functions of the text, so for the strip-off default this
+    // pre-dedup would be a no-op semantically — it is skipped there only
+    // to keep the cheaper gate-then-dedup order the q38 oracle mirrors.)
+    // Docs whose every surviving line was boilerplate get NULL text and
+    // fall out at the gate (the documented gate-null semantics).
     val input =
       if (!stripBoilerplate) docs
-      else WebCuration.stripBoilerplate(docs, idCol, textCol,
-          chunk = boilerplateChunk, minDocs = boilerplateMinDocs)
-        .select(col("id").as(idCol), col("clean_text").as(textCol))
+      else {
+        val keep = docs.groupBy(md5(col(textCol)).as("__md5"))
+          .agg(min(col(idCol)).as(idCol)).select(idCol)
+        WebCuration.stripBoilerplate(docs.join(keep, Seq(idCol), "left_semi"),
+            idCol, textCol, chunk = boilerplateChunk, minDocs = boilerplateMinDocs)
+          .select(col("id").as(idCol), col("clean_text").as(textCol))
+      }
 
     // 1. analysis gate — one map-local pass
     val analyzed = input.select(

@@ -80,6 +80,29 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(curated.count() == 4, curated.collect().mkString(","))
     assert(curated.select("doc_id").distinct().count() == 4)
     assert(curated.select("detected_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+
+    // run 4: one new article + --strip-boilerplate --curate. Exact dedup
+    // runs BEFORE line-frequency counting, so the exact-dup pair {4,6}
+    // keeps its representative (4) with text intact — a duplicated doc's
+    // lines must not count as cross-doc boilerplate against itself; unique
+    // docs {2,3,7} pass untouched; the curated REPLACE snapshot reflects
+    // the stripped corpus
+    (english :+ article(7, "epsilon", 1)).toDS()
+      .toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "4", "--curate", "--strip-boilerplate"))
+    val curated2 = new graft.sources.ParquetManifestTable(s"$outDir/curated")
+      .readLatest(spark)
+    val curIds = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
+    def urlId(i: Int): Long = Seq(f"test://en/$i%03d/article.html").toDF("u")
+      .select(xxhash64(col("u"))).head().getLong(0)
+    assert(Seq(2, 3, 7).forall(i => curIds.contains(urlId(i))),
+      s"unique articles must survive the stripped curation: $curIds")
+    // the {4,6} exact-dup pair keeps exactly its min-doc_id representative
+    // (doc_id = xxhash64(url), so which of the two wins is hash order)
+    val rep = math.min(urlId(4), urlId(6))
+    val loser = math.max(urlId(4), urlId(6))
+    assert(curIds.contains(rep) && !curIds.contains(loser),
+      "a duplicated doc's lines must not strip its own representative")
   }
 
   test("extract job with --password-column: each row decrypts with its own password") {
