@@ -65,6 +65,8 @@ object Extract {
     }
     require(a.input != null && a.outRoot != null,
       "usage: graft.Extract <input parquet dir | synth:N> <output root> [flags]")
+    require(!a.stripBoilerplate || a.curate,
+      "--strip-boilerplate only affects the curated snapshot: pass --curate too")
     a
   }
 

@@ -957,7 +957,8 @@ object SparkEntry {
     // md5 hash (exactly double-representable, so the order is engine-exact)
     "q45_stratified_sample" ->
       """WITH d AS (SELECT lang AS stratum, doc_id AS id,
-           CAST('0x' || substring(md5(text), 1, 13) AS BIGINT) AS h FROM documents),
+           CAST('0x' || substring(md5(text), 1, 13) AS BIGINT) AS h FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          r AS (SELECT stratum, id, h,
              ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h ASC, id ASC) AS rn
            FROM d)

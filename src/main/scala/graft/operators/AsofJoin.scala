@@ -28,6 +28,10 @@ object AsofJoin {
     require(rightCols.nonEmpty, "asofJoin needs at least one right value column")
     val collide = left.columns.toSet.intersect(rightCols.toSet)
     require(collide.isEmpty, s"right value columns collide with left columns: $collide")
+    val reserved = Set("__ts", "__side", "__lval", "__rval", "__carried", "__shard",
+      "__in", "__before", "__last")
+    val taken = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(taken.isEmpty, s"inputs use asofJoin-reserved column names: $taken")
     val keyCols = keys.map(col)
     // SQL join null semantics: a right row with a null key or null
     // timestamp can never match (NULL comparisons are false in the

@@ -34,7 +34,7 @@ object Curate {
              reliableCheckpoint: Boolean = false,
              starsCC: Boolean = false,
              stripBoilerplate: Boolean = false,
-             boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 2L): DataFrame = {
+             boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 30L): DataFrame = {
     // 0. optional cross-doc boilerplate line removal BEFORE the gates:
     // template lines inflate quality scores and glue unrelated pages into
     // near-dup clusters, so when enabled the downstream pipeline (scores,
@@ -48,13 +48,22 @@ object Curate {
     // to keep the cheaper gate-then-dedup order the q38 oracle mirrors.)
     // Docs whose every surviving line was boilerplate get NULL text and
     // fall out at the gate (the documented gate-null semantics).
+    //
+    // boilerplateMinDocs defaults to 30, not 2: a "template" line is one
+    // recurring across MANY distinct post-dedup documents (nav bars,
+    // cookie banners), and the threshold doubles as the guard for NEAR-dup
+    // clusters — two 97%-similar pages share most of their lines, and at
+    // minDocs=2 they would strip each other down to stubs before the
+    // near-dup stage could keep a representative; any cluster smaller
+    // than minDocs cannot trip the threshold on its own.
     val input =
       if (!stripBoilerplate) docs
       else {
         val keep = docs.groupBy(md5(col(textCol)).as("__md5"))
           .agg(min(col(idCol)).as(idCol)).select(idCol)
         WebCuration.stripBoilerplate(docs.join(keep, Seq(idCol), "left_semi"),
-            idCol, textCol, chunk = boilerplateChunk, minDocs = boilerplateMinDocs)
+            idCol, textCol, chunk = boilerplateChunk, minDocs = boilerplateMinDocs,
+            reliableCheckpoint = reliableCheckpoint)
           .select(col("id").as(idCol), col("clean_text").as(textCol))
       }
 

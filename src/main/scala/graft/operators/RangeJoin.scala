@@ -33,6 +33,8 @@ object RangeJoin {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val collide = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet
     require(collide.isEmpty, s"non-key columns present on both sides: $collide")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "inputs use the rangeJoin-reserved column name __bucket")
     val sB = floor(unix_timestamp(col(startTs)) / lit(bucketSeconds)).cast("long")
     val eB = floor(unix_timestamp(col(endTs)) / lit(bucketSeconds)).cast("long")
     val iv = intervals

@@ -172,11 +172,15 @@ object TextAnalysis {
     * complement to q34's fixed-RATE md5-prefix sampling.
     *
     * Output: (stratum, id, h) — h is the sampling hash, exposed so a
-    * downstream rerun can verify the draw. */
+    * downstream rerun can verify the draw. Rows with a null id or null
+    * hash source are EXPLICITLY excluded (they cannot be ordered in the
+    * draw; without the filter the bounded aggregate would drop them while
+    * a window formulation would rank them — engine-divergent). */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        hashCol: String, k: Int): DataFrame = {
     val h = conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long")
     df.select(col(strataCol).as("stratum"), col(idCol).as("id"), h.as("h"))
+      .where(col("id").isNotNull && col("h").isNotNull)
       .groupBy(col("stratum"))
       .agg(graft.functions.TopKFunctions.topKByScore(
         -col("h").cast("double"), col("id"), k).as("picks"))

@@ -17,14 +17,12 @@ object WebCuration {
   /** Fixed-size token chunks standing in for "lines" on corpora whose text
     * carries no newlines (the synthetic tables here); web text with real
     * newlines would pass `split(text, "\n")` to the line operators
-    * directly. One chunk per `chunk` whitespace tokens, last chunk ragged.
-    */
-  def tokenLines(textCol: Column, chunk: Int): Column = {
-    val tokens = split(textCol, " ")
-    transform(
-      sequence(lit(0), floor((size(tokens) - lit(1)) / lit(chunk)).cast("int")),
-      i => array_join(slice(tokens, i * chunk + 1, lit(chunk)), " "))
-  }
+    * directly. Exactly [[TextAnalysis.tokenChunks]] with stride == size
+    * (ONE copy of the split/sequence/slice arithmetic), chunk strings
+    * projected out. */
+  def tokenLines(textCol: Column, chunk: Int): Column =
+    transform(TextAnalysis.tokenChunks(textCol, chunk, chunk),
+      s => s.getField("chunk"))
 
   /** Cross-document boilerplate line removal (the CCNet / RefinedWeb
     * pattern): a line occurring in >= `minDocs` DISTINCT documents is
@@ -43,14 +41,18 @@ object WebCuration {
     * carries a line across the wire to be COUNTED — only to be returned. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        chunk: Int = 8, minDocs: Long = 2L,
-                       materialize: Boolean = true): DataFrame = {
+                       materialize: Boolean = true,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
     // the exploded frame feeds BOTH the hot-line aggregate and the
     // reassembly join — materialize it once so the tokenize+hash pass over
-    // the full text does not run twice (the Dedup sketch-frame rule)
+    // the full text does not run twice (the Dedup sketch-frame rule);
+    // reliableCheckpoint switches to durable df.checkpoint() for runs that
+    // must survive executor loss
     val exploded0 = df
       .select(col(idCol).as("id"), posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")))
       .withColumn("line_md5", md5(col("line")))
-    val exploded = if (materialize) exploded0.localCheckpoint() else exploded0
+    val exploded =
+      if (materialize) Dedup.checkpointDf(exploded0, reliableCheckpoint) else exploded0
     val hot = exploded
       .select(col("line_md5"), col("id"))
       .groupBy(col("line_md5"))

@@ -81,12 +81,12 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(curated.select("doc_id").distinct().count() == 4)
     assert(curated.select("detected_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
 
-    // run 4: one new article + --strip-boilerplate --curate. Exact dedup
-    // runs BEFORE line-frequency counting, so the exact-dup pair {4,6}
-    // keeps its representative (4) with text intact — a duplicated doc's
-    // lines must not count as cross-doc boilerplate against itself; unique
-    // docs {2,3,7} pass untouched; the curated REPLACE snapshot reflects
-    // the stripped corpus
+    // run 4: one new article + --strip-boilerplate --curate, exercising
+    // the job-flag plumbing end to end. At the production default
+    // (minDocs=30) this 7-article corpus has no template-scale lines, so
+    // stripping is a no-op — the assertions pin that the strip path's
+    // pre-dedup keeps the exact-dup representative and that unique docs
+    // pass untouched (the strike mechanism itself is CurateSpec's job)
     (english :+ article(7, "epsilon", 1)).toDS()
       .toDF().write.mode("overwrite").parquet(inDir)
     Extract.main(Array(inDir, outDir, "--partitions", "4", "--curate", "--strip-boilerplate"))
