@@ -397,6 +397,15 @@ object SparkEntry {
           md5(col("c").getField("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // exact heavy hitters through a two-pass Misra-Gries sketch: the
+    // candidate summary bounds what crosses the exchange (k counters per
+    // partition, never the distinct-token keyspace) and the exact re-count
+    // of the candidates makes the result deterministic and oracle-equal
+    // to a plain GROUP BY ... HAVING
+    "q47_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitterTokens(t(s, dir, "documents"), "text", minFreq = 500)
+        .orderBy(col("token"))),
+
     // fixed-QUOTA stratified sampling (q34 is fixed-RATE): k docs per
     // language by smallest 52-bit md5 hash, via the bounded TopKByScore
     // aggregate instead of a per-stratum window sort
@@ -941,6 +950,13 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // the sketch is internal machinery — the contract is exactly
+    // GROUP BY token HAVING count >= 500
+    "q47_heavy_hitters" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token HAVING COUNT(*) >= 500 ORDER BY token""",
 
     // identical chunk rule via list slicing
     "q46_token_chunks" ->

@@ -145,6 +145,44 @@ object TextAnalysis {
       .drop("shard")
   }
 
+  /** EXACT corpus-level frequent tokens via a two-pass Misra-Gries sketch:
+    * every token with exact frequency >= minFreq, with its exact count —
+    * deterministic and oracle-checkable even though the sketch itself is
+    * partition-order-dependent.
+    *
+    *  1. one map-only count of the token stream (n);
+    *  2. one Misra-Gries pass with capacity k = n/minFreq + 1, which
+    *     GUARANTEES (any merge order) that every token with frequency
+    *     > n/(k+1) — hence every token with frequency >= minFreq — is in
+    *     the candidate summary; only k-bounded summaries cross the
+    *     exchange, never the token keyspace;
+    *  3. an exact count restricted to the candidates (broadcast semi
+    *     join) prunes the sketch's false positives.
+    *
+    * Scale shape vs a naive groupBy-count: the naive plan shuffles one
+    * partial count PER DISTINCT TOKEN per partition (web-scale corpora
+    * have billions of distinct tokens, nearly all singletons); here the
+    * sketch pass shuffles k counters per partition and the exact pass
+    * shuffles only candidate tokens (<= k of them). Guard: k must fit the
+    * driver, so minFreq must be a meaningful fraction of n (require'd). */
+  def heavyHitterTokens(df: DataFrame, textCol: String, minFreq: Long): DataFrame = {
+    require(minFreq > 0, "minFreq must be positive")
+    val tokens = df.select(explode(split(col(textCol), " ")).as("token"))
+    val n = tokens.count()
+    val k = (n / minFreq).toInt + 1
+    require(k <= (1 << 22),
+      s"minFreq=$minFreq over n=$n tokens needs a k=$k summary — raise minFreq")
+    val summary = tokens
+      .agg(graft.functions.HeavyHitterFunctions.misraGries(col("token"), k).as("mg"))
+      .select(explode(col("mg").getField("items")).as("it"))
+      .select(col("it").getField("item").as("token"))
+    tokens
+      .join(broadcast(summary), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minFreq)
+  }
+
   /** Overlapping token-window chunks (context-window preprocessing): chunk
     * i covers tokens [i*stride, i*stride + size); starts advance by
     * `stride` while they stay inside the token stream, so every token lands
