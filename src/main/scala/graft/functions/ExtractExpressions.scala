@@ -119,7 +119,12 @@ object GraftFunctionSet {
       HyperplaneSigs(a(0), intLit("hyperplane_sigs", a(1)), intLit("hyperplane_sigs", a(2)))
     }),
     "cosine_sim" -> (args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
-    "jaccard_sim" -> (args => { val a = arity("jaccard_sim", 2)(args); JaccardSim(a(0), a(1)) }))
+    "jaccard_sim" -> (args => { val a = arity("jaccard_sim", 2)(args); JaccardSim(a(0), a(1)) }),
+    // aggregate: the analyzer wraps a bare AggregateFunction builder result
+    "misra_gries" -> (args => {
+      val a = arity("misra_gries", 2)(args)
+      MisraGries(a(0), intLit("misra_gries", a(1)))
+    }))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -61,6 +61,18 @@ class ExtractExpressionsSpec extends AnyFunSuite {
     assert(cos.length == 50 && cos.forall(r => !r.isNullAt(1) && r.getSeq[Long](2).length == 2))
   }
 
+  test("misra_gries is SQL-reachable as an aggregate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("a", "a", "a", "b", "c").toDF("t").createOrReplaceTempView("hh_items")
+    val row = spark.sql("SELECT misra_gries(t, 8) AS mg FROM hh_items").collect()(0)
+      .getStruct(0)
+    assert(row.getLong(0) == 5L)
+    val items = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(items.head == ("a", 3L), items.mkString(","))
+  }
+
   test("null payload yields null, wrong type fails analysis") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT pdf_text(CAST(NULL AS BINARY)) AS t").collect()
