@@ -397,6 +397,15 @@ object SparkEntry {
           md5(col("c").getField("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // exact per-language doc-length quantiles by value-histogram
+    // cumulation (the shuffle carries distinct (lang, n_chars) pairs, not
+    // rows); lower-rank type-1 definition = pure integer selection, so
+    // the DuckDB oracle agrees bit-for-bit with no interpolation hazards
+    "q48_exact_quantiles" -> ((s, dir) =>
+      Stats.exactQuantiles(t(s, dir, "documents"), "lang", "n_chars")
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))),
+
     // exact heavy hitters through a two-pass Misra-Gries sketch: the
     // candidate summary bounds what crosses the exchange (k counters per
     // partition, never the distinct-token keyspace) and the exact re-count
@@ -950,6 +959,22 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // identical histogram-cumulation rank selection (distinct v per (g,v)
+    // makes DuckDB's default RANGE frame equal Spark's ROWS frame)
+    "q48_exact_quantiles" ->
+      """WITH h AS (SELECT lang AS g, n_chars AS v, COUNT(*) AS c
+             FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+         cum AS (SELECT g, v,
+             SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+           FROM h)
+         SELECT g AS lang, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum >= ceil(n * 0.9) THEN v END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum >= ceil(n * 0.99) THEN v END) AS BIGINT) AS p99
+         FROM cum GROUP BY g ORDER BY lang""",
 
     // the sketch is internal machinery — the contract is exactly
     // GROUP BY token HAVING count >= 500

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics.
+  *
+  * Spark's built-in exact `percentile` collects each group's values into
+  * one aggregation buffer (row-space — a giant group OOMs its reducer),
+  * and `approx_percentile` trades exactness away. For integral metrics
+  * (lengths, counts, scores) whose VALUE space is far smaller than the
+  * row space, exact quantiles reduce to a histogram cumulation:
+  * aggregate (group, value) counts — the only row-space pass, map-side
+  * combined — then cumulate counts over the distinct values per group
+  * and select ranks. The shuffle carries one row per DISTINCT (group,
+  * value) pair, never per input row.
+  */
+object Stats {
+
+  /** Exact per-group quantiles of an integral column, lower-rank (type-1)
+    * definition: quantile p = the smallest value whose cumulative count
+    * reaches ceil(p * n). Pure integer selection — no interpolation — so
+    * any engine computes the identical result (q48's DuckDB oracle).
+    *
+    * Output: (group, n, p<XX> per requested p). Caveat: each group's
+    * DISTINCT values flow through one window partition; that is the
+    * operator's scaling assumption (value spaces like document lengths
+    * are bounded), and it is why the row-space never sees a window. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must lie in (0, 1], got $ps")
+    val hist = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    // distinct v per (g, v) group => ROWS and RANGE frames agree; rows
+    // keeps the Spark side aligned with the oracle's default range frame
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    def pName(p: Double): String = {
+      val b = (p * 100).round
+      if (b.toDouble == p * 100) s"p$b" else s"p${(p * 10000).round}"
+    }
+    val picks: Seq[Column] = ps.map(p =>
+      min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(pName(p)))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
+}

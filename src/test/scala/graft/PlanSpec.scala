@@ -212,6 +212,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: sketch partial-agg + broadcast semi join, no token-keyspace shuffle before it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hh = graft.operators.TextAnalysis.heavyHitterTokens(docs, "text", minFreq = 500)
+    val p = plan(hh)
+    // the exact pass reaches tokens only through a broadcast-hash LEFT SEMI
+    // against the k-bounded candidate list; the only token-keyed exchange
+    // is the candidate-restricted final count
+    assert(p.contains("misra_gries"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+  }
+
   test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),
