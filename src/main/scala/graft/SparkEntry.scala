@@ -397,6 +397,26 @@ object SparkEntry {
           md5(col("c").getField("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // url canonicalization as a dedup key: deterministic messy variants
+    // (scheme/host case, default ports, fragments, trailing slashes) of a
+    // synthesized url collapse to one canonical form; output = per
+    // canonical url the variant count and min doc id
+    "q49_url_canonical" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, "HTTP://").otherwise(lit("http://")),
+          when(col("doc_id") % 2 === 0, "WWW.Site.COM").otherwise(lit("www.site.com")),
+          when(col("doc_id") % 5 === 0, ":80").otherwise(lit("")),
+          lit("/p/"), (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 7 === 0, "/").otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, "#frag").otherwise(lit(""))).as("url"))
+      messy
+        .select(WebCuration.canonicalUrl(col("url")).as("canonical_url"), col("doc_id"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // exact per-language doc-length quantiles by value-histogram
     // cumulation (the shuffle carries distinct (lang, n_chars) pairs, not
     // rows); lower-rank type-1 definition = pure integer selection, so
@@ -959,6 +979,30 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // identical regex chain: lowercase scheme+host, strip fragment,
+    // default port, trailing slash
+    "q49_url_canonical" ->
+      """WITH m AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site.COM' ELSE 'www.site.com' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+           '/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+           CASE WHEN regexp_matches(url, '(?i)^https?://')
+             THEN lower(regexp_extract(url, '(?i)^(https?)://', 1)) || '://' ||
+               (CASE WHEN lower(regexp_extract(url, '(?i)^(https?)://', 1)) = 'http'
+                 THEN regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)), ':80$', '')
+                 ELSE regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)), ':443$', '') END) ||
+               regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1), '/$', '')
+             ELSE url END AS canonical_url
+           FROM m)
+         SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+         FROM c GROUP BY 1 ORDER BY canonical_url""",
 
     // identical histogram-cumulation rank selection (distinct v per (g,v)
     // makes DuckDB's default RANGE frame equal Spark's ROWS frame)

@@ -155,6 +155,26 @@ object WebCuration {
   def domainOf(urlCol: Column): Column =
     lower(regexp_extract(urlCol, "(?i)^https?://([^/]+)", 1))
 
+  /** Canonical URL for crawl-level dedup keys: lowercase scheme and host
+    * (case-insensitive per RFC 3986), strip the fragment, strip explicit
+    * default ports (http:80 / https:443), and strip one trailing slash
+    * (so `http://a.com/` == `http://a.com`). Pure codegen'd string/regex
+    * ops, every pattern
+    * valid and equivalent in java.util.regex and RE2 — the q49 oracle
+    * replays the identical chain. Non-http(s) inputs pass through
+    * unchanged (no host to normalize). */
+  def canonicalUrl(urlCol: Column): Column = {
+    val isHttp = urlCol.rlike("(?i)^https?://")
+    val scheme = lower(regexp_extract(urlCol, "(?i)^(https?)://", 1))
+    val host = lower(regexp_extract(urlCol, "(?i)^https?://([^/?#]+)", 1))
+    val rest = regexp_extract(urlCol, "(?i)^https?://[^/?#]+([^#]*)", 1)
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .otherwise(regexp_replace(host, ":443$", ""))
+    val restNoSlash = regexp_replace(rest, "/$", "")
+    when(isHttp, concat(scheme, lit("://"), hostNoPort, restNoSlash))
+      .otherwise(urlCol)
+  }
+
   /** Per-domain corpus rollup: document count, char volume, distinct
     * languages, min id (a stable representative). One map-side-combined
     * groupBy on the extracted host — the standard pre-aggregation for

@@ -96,6 +96,21 @@ class WebCurationSpec extends AnyFunSuite {
     assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 1L && out(1).getLong(4) == 3L)
   }
 
+  test("canonicalUrl: case, default ports, fragments, trailing slash") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/Path/" -> "http://www.example.com/Path",
+      "https://a.com:443/x#frag" -> "https://a.com/x",
+      "https://a.com:8443/x" -> "https://a.com:8443/x", // non-default port kept
+      "http://a.com" -> "http://a.com",
+      "http://a.com/" -> "http://a.com",
+      "http://a.com/?q=1#f" -> "http://a.com/?q=1",
+      "HTTP://a.com:8080/y" -> "http://a.com:8080/y",   // :80$ must not eat :8080
+      "ftp://Other.COM/Z" -> "ftp://Other.COM/Z")       // non-http passes through
+    val out = cases.map(_._1).toDF("url")
+      .select(WebCuration.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2), out.zip(cases).mkString("\n"))
+  }
+
   test("domainOf + domainStats") {
     val df = Seq(
       (1L, "https://a.example.com/p/1", "en", 10L),
