@@ -997,7 +997,8 @@ object SparkEntry {
                (CASE WHEN lower(regexp_extract(url, '(?i)^(https?)://', 1)) = 'http'
                  THEN regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)), ':80$', '')
                  ELSE regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)), ':443$', '') END) ||
-               regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1), '/$', '')
+               regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1), '/$', '') ||
+               regexp_extract(url, '(?i)^https?://[^/?#]+[^?#]*(\?[^#]*)', 1)
              ELSE url END AS canonical_url
            FROM m)
          SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,

@@ -42,12 +42,17 @@ object Stats {
     val cum = hist
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    // percent names for round percents, basis-point names (suffix bp)
+    // otherwise — the two scales must not collide (p50 vs 0.005)
     def pName(p: Double): String = {
       val b = (p * 100).round
-      if (b.toDouble == p * 100) s"p$b" else s"p${(p * 10000).round}"
+      if (b.toDouble == p * 100) s"p$b" else s"p${(p * 10000).round}bp"
     }
-    val picks: Seq[Column] = ps.map(p =>
-      min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(pName(p)))
+    val names = ps.map(pName)
+    require(names.distinct.size == names.size, s"quantile names collide: $names")
+    val picks: Seq[Column] = ps.zip(names).map { case (p, name) =>
+      min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(name)
+    }
     cum.groupBy(col("g"))
       .agg(max(col("n")).as("n"), picks: _*)
   }

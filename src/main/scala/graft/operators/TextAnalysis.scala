@@ -165,13 +165,23 @@ object TextAnalysis {
     * sketch pass shuffles k counters per partition and the exact pass
     * shuffles only candidate tokens (<= k of them). Guard: k must fit the
     * driver, so minFreq must be a meaningful fraction of n (require'd). */
-  def heavyHitterTokens(df: DataFrame, textCol: String, minFreq: Long): DataFrame = {
+  def heavyHitterTokens(df: DataFrame, textCol: String, minFreq: Long,
+                        materialize: Boolean = true,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
     require(minFreq > 0, "minFreq must be positive")
-    val tokens = df.select(explode(split(col(textCol), " ")).as("token"))
+    // three consumers (count, sketch, exact re-count) — materialize the
+    // token stream once by default; opt out when storing the exploded
+    // tokens costs more than two extra tokenization scans
+    val tokens0 = df.select(explode(split(col(textCol), " ")).as("token"))
+    val tokens =
+      if (materialize) Dedup.checkpointDf(tokens0, reliableCheckpoint) else tokens0
     val n = tokens.count()
-    val k = (n / minFreq).toInt + 1
-    require(k <= (1 << 22),
-      s"minFreq=$minFreq over n=$n tokens needs a k=$k summary — raise minFreq")
+    // guard BEFORE the Int truncation: a wrapped k would silently
+    // undersize the sketch and break the superset guarantee
+    val kL = n / minFreq + 1L
+    require(kL <= (1L << 22),
+      s"minFreq=$minFreq over n=$n tokens needs a k=$kL summary — raise minFreq")
+    val k = kL.toInt
     val summary = tokens
       .agg(graft.functions.HeavyHitterFunctions.misraGries(col("token"), k).as("mg"))
       .select(explode(col("mg").getField("items")).as("it"))
@@ -213,12 +223,16 @@ object TextAnalysis {
     * downstream rerun can verify the draw. Rows with a null id or null
     * hash source are EXPLICITLY excluded (they cannot be ordered in the
     * draw; without the filter the bounded aggregate would drop them while
-    * a window formulation would rank them — engine-divergent). */
+    * a window formulation would rank them — engine-divergent), and
+    * duplicate (stratum, id, hash) rows collapse before the draw (set
+    * semantics — made explicit with a distinct, since the top-k buffer
+    * would collapse them anyway while a physical-row window would not). */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        hashCol: String, k: Int): DataFrame = {
     val h = conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long")
     df.select(col(strataCol).as("stratum"), col(idCol).as("id"), h.as("h"))
       .where(col("id").isNotNull && col("h").isNotNull)
+      .distinct()
       .groupBy(col("stratum"))
       .agg(graft.functions.TopKFunctions.topKByScore(
         -col("h").cast("double"), col("id"), k).as("picks"))

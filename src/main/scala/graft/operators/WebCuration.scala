@@ -167,11 +167,14 @@ object WebCuration {
     val isHttp = urlCol.rlike("(?i)^https?://")
     val scheme = lower(regexp_extract(urlCol, "(?i)^(https?)://", 1))
     val host = lower(regexp_extract(urlCol, "(?i)^https?://([^/?#]+)", 1))
-    val rest = regexp_extract(urlCol, "(?i)^https?://[^/?#]+([^#]*)", 1)
+    // path and query captured SEPARATELY: the trailing-slash strip must
+    // only touch the path — '?next=/' is query data, not a path slash
+    val path = regexp_extract(urlCol, "(?i)^https?://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(urlCol, "(?i)^https?://[^/?#]+[^?#]*(\\?[^#]*)", 1)
     val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
       .otherwise(regexp_replace(host, ":443$", ""))
-    val restNoSlash = regexp_replace(rest, "/$", "")
-    when(isHttp, concat(scheme, lit("://"), hostNoPort, restNoSlash))
+    val pathNoSlash = regexp_replace(path, "/$", "")
+    when(isHttp, concat(scheme, lit("://"), hostNoPort, pathNoSlash, query))
       .otherwise(urlCol)
   }
 

@@ -103,7 +103,8 @@ class WebCurationSpec extends AnyFunSuite {
       "https://a.com:8443/x" -> "https://a.com:8443/x", // non-default port kept
       "http://a.com" -> "http://a.com",
       "http://a.com/" -> "http://a.com",
-      "http://a.com/?q=1#f" -> "http://a.com/?q=1",
+      "http://a.com/?q=1#f" -> "http://a.com?q=1",   // root path slash stripped, query kept
+      "http://a.com/login?next=/" -> "http://a.com/login?next=/", // query slash untouched
       "HTTP://a.com:8080/y" -> "http://a.com:8080/y",   // :80$ must not eat :8080
       "ftp://Other.COM/Z" -> "ftp://Other.COM/Z")       // non-http passes through
     val out = cases.map(_._1).toDF("url")
