@@ -223,6 +223,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
   }
 
+  test("exact quantiles: every window runs over the aggregated value space, never raw rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = graft.operators.Stats.exactQuantiles(docs, "lang", "n_chars")
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      // each WindowExec must sit ABOVE the (group, value) histogram
+      // aggregate — the row-space pass ends before any window sort
+      windows.foreach { w =>
+        val aggsBelow = w.collect {
+          case a: HashAggregateExec => a
+          case a: ObjectHashAggregateExec => a
+          case a: SortAggregateExec => a
+        }
+        assert(aggsBelow.nonEmpty, "window over raw rows:\n" + w.toString.take(1000))
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("sketch expressions are native Catalyst (no UDF nodes, batched scan)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sketched = docs.select(Dedup.simhash(col("text")).as("sh"),
