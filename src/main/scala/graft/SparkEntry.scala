@@ -397,6 +397,15 @@ object SparkEntry {
           md5(col("c").getField("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // quality-weighted deterministic sampling: inclusion probability =
+    // quality_score (1e4 integer scale) — good docs kept often, junk
+    // rarely; pure integer threshold, no RNG, partitioning-independent
+    "q50_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(t(s, dir, "documents"), "doc_id", "text",
+          TextAnalysis.qualityScoreI4(col("text")))
+        .select(col("doc_id"), col("w_i4"), col("h48"))
+        .orderBy(col("doc_id"))),
+
     // url canonicalization as a dedup key: deterministic messy variants
     // (scheme/host case, default ports, fragments, trailing slashes) of a
     // synthesized url collapse to one canonical form; output = per
@@ -979,6 +988,23 @@ object SparkEntry {
          SELECT url FROM u
          WHERE substring(md5(url), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
          ORDER BY url""",
+
+    // identical integer threshold: q15's quality formula at 1e4 scale,
+    // 48-bit md5 prefix, floor division on both sides
+    "q50_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+           CAST(floor((
+             least(length(text) / 500.0, 1.0) * 0.4 +
+             least((CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3 +
+             (1.0 - least((CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT) AS w_i4,
+           CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) AS h48
+           FROM documents)
+         SELECT doc_id, w_i4, h48 FROM w
+         WHERE h48 < (w_i4 * 281474976710656) // 10000
+         ORDER BY doc_id""",
 
     // identical regex chain: lowercase scheme+host, strip fragment,
     // default port, trailing slash

@@ -145,6 +145,25 @@ object TextAnalysis {
       .drop("shard")
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: row kept iff its 48-bit
+    * md5 hash is below weight * 2^48 — inclusion probability equals the
+    * row's weight (in integer 1e4 scale, e.g. `qualityScoreI4`), with no
+    * RNG state, reproducible under any partitioning, and PURE INTEGER
+    * arithmetic end to end (48 bits so weightI4 * 2^48 fits a signed
+    * long; no float threshold an engine could round differently). The
+    * quality-biased draw real curation mixes use (keep good docs with
+    * high probability, junk with low) — map-local, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, hashCol: String,
+                     weightI4Col: Column): DataFrame = {
+    val h48 = conv(substring(md5(col(hashCol)), 1, 12), 16, 10).cast("long")
+    df.withColumn("h48", h48)
+      .withColumn("w_i4", weightI4Col.cast("long"))
+      // `div`, not `/`: Spark's / is fractional (double) even on longs,
+      // and w_i4 * 2^48 exceeds 2^53 — a double threshold could round
+      // differently from the oracle's integer //
+      .where(col("h48") < expr(s"w_i4 * ${1L << 48} div 10000"))
+  }
+
   /** EXACT corpus-level frequent tokens via a two-pass Misra-Gries sketch:
     * every token with exact frequency >= minFreq, with its exact count —
     * deterministic and oracle-checkable even though the sketch itself is

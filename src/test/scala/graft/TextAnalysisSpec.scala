@@ -45,6 +45,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(2) == fp(9))
   }
 
+  test("weightedSample: kept iff h48 under the integer threshold; rate tracks weight") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.weightedSample(docs, "doc_id", "text",
+      TextAnalysis.qualityScoreI4(col("text")))
+    // exact membership: replay the threshold row by row
+    val all = docs.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"),
+        TextAnalysis.qualityScoreI4(col("text")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = all.filter { case (_, h, w) => h < w * (1L << 48) / 10000L }.map(_._1).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // weight-0 rows can never be kept; weight-10000 rows always are
+    assert(all.filter(_._3 == 0L).forall(t => !got.contains(t._1)))
+    assert(all.filter(_._3 == 10000L).forall(t => got.contains(t._1)))
+    // partitioning-independent
+    val got2 = TextAnalysis.weightedSample(docs.repartition(13), "doc_id", "text",
+      TextAnalysis.qualityScoreI4(col("text"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+  }
+
   test("tokenChunks: stride overlap, ragged tail, every token covered") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
