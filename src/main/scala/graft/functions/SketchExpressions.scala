@@ -181,6 +181,54 @@ object SketchKernel {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** Overlapping token-window chunks over the whitespace tokens: chunk i
+    * covers tokens [i*stride, i*stride + size). One pass to find token
+    * boundaries, one byte-range copy per chunk — unlike the declarative
+    * transform(sequence, i => slice(split(text), ...)) formulation, which
+    * re-evaluates the split INSIDE the lambda for every chunk (interpreted
+    * HOFs have no CSE), i.e. O(len^2/stride) per document. Bit-identical
+    * to the declarative form (SketchExpressionsSpec). */
+  def tokenChunks(s: UTF8String, size: Int, stride: Int): Array[(Int, UTF8String)] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = n + 1 // end of token j is starts(j+1) - 1
+
+    val nChunks = (nTokens - 1) / stride + 1
+    val out = new Array[(Int, UTF8String)](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val from = starts(c * stride)
+      val until = starts(math.min(c * stride + size, nTokens)) - 1
+      out(c) = (c, UTF8String.fromBytes(bytes, from, until - from))
+      c += 1
+    }
+    out
+  }
+
+  /** Catalyst-shaped variant of [[tokenChunks]] (also the codegen target):
+    * array<struct<chunk_idx:int, chunk:string>>. */
+  def tokenChunksData(s: UTF8String, size: Int, stride: Int): ArrayData = {
+    val chunks = tokenChunks(s, size, stride)
+    val rows = new Array[Any](chunks.length)
+    var i = 0
+    while (i < chunks.length) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](chunks(i)._1, chunks(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   private val HexDigits = "0123456789abcdef".getBytes
 
   private def toHex(d: Array[Byte]): Array[Byte] = {
@@ -386,6 +434,27 @@ case class FingerprintMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint_md5"
 }
 
+case class TokenChunks(child: Expression, size: Int, stride: Int) extends UnaryExpression {
+  require(size > 0 && stride > 0 && stride <= size,
+    s"token_chunks needs 0 < stride <= size, got size=$size stride=$stride")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_chunks requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.tokenChunksData(input.asInstanceOf[UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernel.tokenChunksData($c, $size, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks = copy(child = newChild)
+  override def prettyName: String = "token_chunks"
+}
+
 case class JaccardSim(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -420,4 +489,6 @@ object SketchFunctions {
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), shingleWords))
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def tokenChunks(c: Column, size: Int, stride: Int): Column =
+    ColumnBridge.column(TokenChunks(ColumnBridge.expression(c), size, stride))
 }

@@ -145,6 +145,12 @@ object TextAnalysis {
       .drop("shard")
   }
 
+  /** First `hexChars`*4 bits of md5(c) as a non-negative long — the
+    * engine-portable deterministic "random" draw (DuckDB:
+    * CAST('0x' || substring(md5(c), 1, hexChars) AS BIGINT)). */
+  private def md5PrefixLong(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
   /** Deterministic WEIGHTED Bernoulli sampling: row kept iff its 48-bit
     * md5 hash is below weight * 2^48 — inclusion probability equals the
     * row's weight (in integer 1e4 scale, e.g. `qualityScoreI4`), with no
@@ -155,8 +161,7 @@ object TextAnalysis {
     * high probability, junk with low) — map-local, no shuffle. */
   def weightedSample(df: DataFrame, idCol: String, hashCol: String,
                      weightI4Col: Column): DataFrame = {
-    val h48 = conv(substring(md5(col(hashCol)), 1, 12), 16, 10).cast("long")
-    df.withColumn("h48", h48)
+    df.withColumn("h48", md5PrefixLong(col(hashCol), 12))
       .withColumn("w_i4", weightI4Col.cast("long"))
       // `div`, not `/`: Spark's / is fractional (double) even on longs,
       // and w_i4 * 2^48 exceeds 2^53 — a double threshold could round
@@ -217,8 +222,17 @@ object TextAnalysis {
     * `stride` while they stay inside the token stream, so every token lands
     * in at least one chunk and consecutive chunks overlap by size - stride
     * tokens. Returns array<struct<chunk_idx:int, chunk:string>> — a pure
-    * map-local expression (explode downstream costs no shuffle). */
-  def tokenChunks(textCol: Column, size: Int, stride: Int): Column = {
+    * map-local NATIVE expression (one boundary pass + one byte-range copy
+    * per chunk; explode downstream costs no shuffle). Bit-identical to
+    * [[tokenChunksDeclarative]] (SketchExpressionsSpec). */
+  def tokenChunks(textCol: Column, size: Int, stride: Int): Column =
+    graft.functions.SketchFunctions.tokenChunks(textCol, size, stride)
+
+  /** The declarative HOF formulation the native expression is verified
+    * against — and the reason the native one exists: `slice(split(...))`
+    * sits INSIDE the transform lambda, and interpreted HOFs re-evaluate it
+    * per chunk (no CSE), i.e. O(len^2/stride) per document. */
+  def tokenChunksDeclarative(textCol: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     val tokens = split(textCol, " ")
@@ -248,8 +262,8 @@ object TextAnalysis {
     * would collapse them anyway while a physical-row window would not). */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        hashCol: String, k: Int): DataFrame = {
-    val h = conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long")
-    df.select(col(strataCol).as("stratum"), col(idCol).as("id"), h.as("h"))
+    df.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        md5PrefixLong(col(hashCol), 13).as("h"))
       .where(col("id").isNotNull && col("h").isNotNull)
       .distinct()
       .groupBy(col("stratum"))

@@ -22,16 +22,20 @@ class PlanSpec extends AnyFunSuite {
     * exchanges lazily, so a bare `sparkPlan.collect` silently returns
     * NOTHING — the frame must be planned with AQE off for the walk to see
     * the exchanges. The thunk runs inside the AQE-off window. */
-  def collectShuffles(mk: => org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  def withAqeOff[T](f: => T): T = {
     val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try mk.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    try f
     finally saved match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
+  }
+
+  def collectShuffles(mk: => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withAqeOff(mk.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s })
   }
 
   test("q01: filter and projection are pushed into the parquet scan") {
@@ -228,9 +232,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val q = graft.operators.Stats.exactQuantiles(docs, "lang", "n_chars")
-    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff {
       val plan = q.queryExecution.executedPlan
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.nonEmpty)
@@ -244,9 +246,6 @@ class PlanSpec extends AnyFunSuite {
         }
         assert(aggsBelow.nonEmpty, "window over raw rows:\n" + w.toString.take(1000))
       }
-    } finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 

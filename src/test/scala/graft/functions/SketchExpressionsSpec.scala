@@ -100,6 +100,22 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
   }
 
+  test("native token_chunks == declarative chunking on all documents + edge cases") {
+    import org.apache.spark.sql.functions._
+    for ((size, stride) <- Seq((64, 48), (8, 8), (4, 2), (1, 1))) {
+      val cmp = docs.select(
+        graft.operators.TextAnalysis.tokenChunksDeclarative(col("text"), size, stride).as("a"),
+        SketchFunctions.tokenChunks(col("text"), size, stride).as("b"))
+      assert(cmp.where(col("a") =!= col("b")).count() == 0, s"size=$size stride=$stride")
+    }
+    import spark.implicits._
+    val edge = Seq("", "one", "a b", "trail ", " lead", "a  b c").toDF("text")
+    val cmp = edge.select(
+      graft.operators.TextAnalysis.tokenChunksDeclarative(col("text"), 2, 2).as("a"),
+      SketchFunctions.tokenChunks(col("text"), 2, 2).as("b"))
+    cmp.collect().foreach(r => assert(r.get(0) == r.get(1), r))
+  }
+
   test("native fingerprint_md5 == declarative md5 chain on all documents + edge cases") {
     val cmp = docs.select(
       graft.operators.TextAnalysis.fingerprintMd5Declarative(col("text")).as("a"),
