@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-style checks of the pure kernel functions against reference
+  * set/string math — deterministic seeded sweeps (the FuzzSpec style; the
+  * offline cache carries no scalatest-scalacheck bridge), thousands of
+  * cases per run, no Spark session needed. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  test("jaccardSim == reference set math for random long arrays (dense + sparse)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2000) {
+      def arr(): Array[Long] = {
+        val n = rnd.nextInt(12)
+        // dense domain forces duplicates/intersections; sparse exercises order
+        if (rnd.nextBoolean()) Array.fill(n)(rnd.nextInt(9).toLong - 4L)
+        else Array.fill(n)(rnd.nextLong())
+      }
+      val a = arr()
+      val b = arr()
+      val got = SketchKernel.jaccardSim(new GenericArrayData(a), new GenericArrayData(b))
+      val sa = a.toSet
+      val sb = b.toSet
+      val union = (sa ++ sb).size
+      val expected = if (union == 0) 1.0 else sa.intersect(sb).size.toDouble / union
+      assert(got == expected, s"trial=$trial a=${a.mkString(",")} b=${b.mkString(",")}")
+    }
+  }
+
+  test("tokenChunks: chunk contents are exactly the stride windows of the split") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("", "a", "bb", "word", "ü", "x1")
+    for (trial <- 1 to 2000) {
+      val nTok = rnd.nextInt(30)
+      val text = Array.fill(nTok max 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val stride = 1 + rnd.nextInt(8)
+      val size = stride + rnd.nextInt(8)
+      val tokens = text.split(" ", -1)
+      val chunks = SketchKernel.tokenChunks(UTF8String.fromString(text), size, stride)
+      val expected = (0 until ((tokens.length - 1) / stride + 1)).map { i =>
+        (i, tokens.slice(i * stride, math.min(i * stride + size, tokens.length)).mkString(" "))
+      }
+      assert(chunks.map { case (i, s) => (i, s.toString) }.toSeq == expected,
+        s"trial=$trial text='$text' size=$size stride=$stride")
+    }
+  }
+
+  test("MgBuffer: n exact, no overestimates, superset guarantee for any stream split") {
+    val rnd = new scala.util.Random(13)
+    val items = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    for (trial <- 1 to 1000) {
+      val stream = List.fill(rnd.nextInt(200))(items(rnd.nextInt(items.length)))
+      val k = 1 + rnd.nextInt(6)
+      val nChunks = 1 + rnd.nextInt(5)
+      val exact = stream.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      val groups =
+        if (stream.isEmpty) Seq(Nil)
+        else stream.grouped(math.max(1, stream.size / nChunks)).toSeq
+      val merged = groups.map { chunk =>
+        val b = new MgBuffer(k)
+        chunk.foreach(b.insert)
+        b
+      }.reduceLeft { (x, y) => x.mergeFrom(y); x }
+      assert(merged.n == stream.size.toLong)
+      assert(merged.counts.size <= k)
+      val bound = stream.size.toDouble / (k + 1)
+      merged.counts.forEach { (it, lb) =>
+        assert(lb <= exact(it), s"trial=$trial $it overestimated: $lb > ${exact(it)}")
+      }
+      exact.foreach { case (it, c) =>
+        if (c > bound)
+          assert(merged.counts.containsKey(it), s"trial=$trial $it lost (count $c > $bound, k=$k)")
+      }
+    }
+  }
+}
