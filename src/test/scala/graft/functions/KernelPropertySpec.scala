@@ -48,6 +48,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenChunks scales linearly: a 200k-token document chunks in well under a second") {
+    // the declarative slice-in-lambda formulation is O(len^2/stride) —
+    // ~50 GB of token copying at this size; the native kernel is one
+    // boundary pass + one byte-range copy per chunk
+    val text = Array.tabulate(200000)(i => "tok" + (i % 997)).mkString(" ")
+    val t0 = System.nanoTime()
+    val chunks = SketchKernel.tokenChunks(UTF8String.fromString(text), 2048, 1024)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(chunks.length == (200000 - 1) / 1024 + 1)
+    assert(chunks.head._2.toString.startsWith("tok0 tok1 "))
+    val last = chunks.last._2.toString
+    assert(last.endsWith("tok" + (199999 % 997)))
+    assert(ms < 1000.0, s"native chunking took ${ms}ms on 200k tokens")
+  }
+
   test("MgBuffer: n exact, no overestimates, superset guarantee for any stream split") {
     val rnd = new scala.util.Random(13)
     val items = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
