@@ -99,16 +99,13 @@ object SketchKernel {
     out
   }
 
-  /** MinHash signature over word n-gram shingles. A shingle of n consecutive
-    * tokens joined by single spaces is exactly the source byte range from
-    * token i's start to token (i+n-1)'s end (split boundaries are single
-    * spaces), so shingles hash zero-copy. Matches the declarative
-    * minhashSignature(wordShingles(text, n), k) bit-for-bit:
-    * base hashes h1/h2 = xxhash64(shingle, 1|2) = hashLong(seed',
-    * hashUTF8-bytes); sig[j] = h1 XOR (h2 >>> j | h2 << (64-j)), j=1..k. */
-  def minhashSignature(s: UTF8String, shingleWords: Int, k: Int): Array[Long] = {
+  /** Token start offsets of the single-space split: starts(j) is token
+    * j's first byte, with sentinel starts(nTokens) = numBytes + 1 so token
+    * j ends at starts(j+1) - 1. THE one copy of the boundary scan shared
+    * by minhashSignature / shingleHashes / tokenChunks — tokenization
+    * semantics must never diverge between the native expressions. */
+  @inline private def tokenStarts(s: UTF8String): Array[Int] = {
     val n = s.numBytes
-    // token start offsets
     var nTokens = 1
     var i = 0
     while (i < n) { if (s.getByte(i) == ' ') nTokens += 1; i += 1 }
@@ -119,7 +116,21 @@ object SketchKernel {
       if (s.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
       i += 1
     }
-    starts(nTokens) = n + 1 // sentinel: end of token j is starts(j+1) - 1
+    starts(nTokens) = n + 1
+    starts
+  }
+
+  /** MinHash signature over word n-gram shingles. A shingle of n consecutive
+    * tokens joined by single spaces is exactly the source byte range from
+    * token i's start to token (i+n-1)'s end (split boundaries are single
+    * spaces), so shingles hash zero-copy. Matches the declarative
+    * minhashSignature(wordShingles(text, n), k) bit-for-bit:
+    * base hashes h1/h2 = xxhash64(shingle, 1|2) = hashLong(seed',
+    * hashUTF8-bytes); sig[j] = h1 XOR (h2 >>> j | h2 << (64-j)), j=1..k. */
+  def minhashSignature(s: UTF8String, shingleWords: Int, k: Int): Array[Long] = {
+    val n = s.numBytes
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
 
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -155,17 +166,8 @@ object SketchKernel {
     * (a shingle of n tokens joined by single spaces IS the source range). */
   def shingleHashes(s: UTF8String, shingleWords: Int): Array[Long] = {
     val n = s.numBytes
-    var nTokens = 1
-    var i = 0
-    while (i < n) { if (s.getByte(i) == ' ') nTokens += 1; i += 1 }
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < n) {
-      if (s.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = n + 1
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
 
     if (nTokens < shingleWords) return Array(hashRange(s, 0, n))
 
@@ -189,19 +191,9 @@ object SketchKernel {
     * HOFs have no CSE), i.e. O(len^2/stride) per document. Bit-identical
     * to the declarative form (SketchExpressionsSpec). */
   def tokenChunks(s: UTF8String, size: Int, stride: Int): Array[(Int, UTF8String)] = {
-    val bytes = s.getBytes
-    val n = bytes.length
-    var nTokens = 1
-    var i = 0
-    while (i < n) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < n) {
-      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = n + 1 // end of token j is starts(j+1) - 1
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
+    val bytes = s.getBytes // materialized once; chunk slices copy from it
 
     val nChunks = (nTokens - 1) / stride + 1
     val out = new Array[(Int, UTF8String)](nChunks)

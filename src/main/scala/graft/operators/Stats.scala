@@ -31,9 +31,13 @@ object Stats {
                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles must lie in (0, 1], got $ps")
+    // filter on the CAST value: a non-numeric string or NaN casts to
+    // null after passing a raw isNotNull, and a (g, null) histogram row
+    // would silently inflate every cum/n in its group
+    val vCast = col(valueCol).cast("long")
     val hist = df
-      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .where(vCast.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), vCast.as("v"))
       .agg(count(lit(1)).as("c"))
     // distinct v per (g, v) group => ROWS and RANGE frames agree; rows
     // keeps the Spark side aligned with the oracle's default range frame
@@ -46,7 +50,9 @@ object Stats {
     // otherwise — the two scales must not collide (p50 vs 0.005)
     def pName(p: Double): String = {
       val b = (p * 100).round
-      if (b.toDouble == p * 100) s"p$b" else s"p${(p * 10000).round}bp"
+      // tolerance, not equality: 0.29 * 100 is 28.999999999999996 in
+      // doubles and must still name p29
+      if (math.abs(b.toDouble - p * 100) < 1e-9) s"p$b" else s"p${(p * 10000).round}bp"
     }
     val names = ps.map(pName)
     require(names.distinct.size == names.size, s"quantile names collide: $names")

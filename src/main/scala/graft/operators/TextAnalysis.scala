@@ -190,12 +190,15 @@ object TextAnalysis {
     * shuffles only candidate tokens (<= k of them). Guard: k must fit the
     * driver, so minFreq must be a meaningful fraction of n (require'd). */
   def heavyHitterTokens(df: DataFrame, textCol: String, minFreq: Long,
-                        materialize: Boolean = true,
+                        materialize: Boolean = false,
                         reliableCheckpoint: Boolean = false): DataFrame = {
     require(minFreq > 0, "minFreq must be positive")
-    // three consumers (count, sketch, exact re-count) — materialize the
-    // token stream once by default; opt out when storing the exploded
-    // tokens costs more than two extra tokenization scans
+    // three consumers (count, sketch, exact re-count). Default is to
+    // RE-STREAM the three map-only tokenization passes: checkpointing the
+    // exploded token stream is O(total corpus tokens) rows of executor
+    // storage — a multi-TB cliff at the web scale this operator targets,
+    // and unrecoverable on executor loss. materialize=true trades that
+    // storage for the two extra scans on small/medium corpora
     val tokens0 = df.select(explode(split(col(textCol), " ")).as("token"))
     val tokens =
       if (materialize) Dedup.checkpointDf(tokens0, reliableCheckpoint) else tokens0
@@ -256,16 +259,16 @@ object TextAnalysis {
     * downstream rerun can verify the draw. Rows with a null id or null
     * hash source are EXPLICITLY excluded (they cannot be ordered in the
     * draw; without the filter the bounded aggregate would drop them while
-    * a window formulation would rank them — engine-divergent), and
-    * duplicate (stratum, id, hash) rows collapse before the draw (set
-    * semantics — made explicit with a distinct, since the top-k buffer
-    * would collapse them anyway while a physical-row window would not). */
+    * a window formulation would rank them — engine-divergent). Duplicate
+    * (stratum, id, hash) rows collapse inside the top-k buffer (a sorted
+    * SET over (hash, id)) — set semantics by construction, with NO extra
+    * distinct pass: a distinct would plan a full row-space shuffle,
+    * exactly the cost the bounded aggregate exists to avoid. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        hashCol: String, k: Int): DataFrame = {
     df.select(col(strataCol).as("stratum"), col(idCol).as("id"),
         md5PrefixLong(col(hashCol), 13).as("h"))
       .where(col("id").isNotNull && col("h").isNotNull)
-      .distinct()
       .groupBy(col("stratum"))
       .agg(graft.functions.TopKFunctions.topKByScore(
         -col("h").cast("double"), col("id"), k).as("picks"))
