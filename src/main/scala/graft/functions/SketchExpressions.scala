@@ -207,6 +207,76 @@ object SketchKernel {
     out
   }
 
+  /** The composite [0,1] quality score in ONE byte pass — bit-identical to
+    * TextAnalysis.qualityScoreDeclarative (the q15/q38/q50 oracle formula):
+    * every intermediate double op replays the declarative expression's
+    * exact IEEE order (ratios as double divisions, min-with-1 clamps, the
+    * 0.4/0.3/0.3 blend). Counting rules replicated exactly:
+    *  - length(text)        = codepoint count (Spark length = numChars);
+    *  - stopword hits       = whitespace tokens equal (ASCII
+    *    case-insensitively) to one of the 7 stopwords — safe vs lower():
+    *    a token containing non-ASCII bytes can never equal an ASCII
+    *    stopword under either folding;
+    *  - non-alnum count     = codepoints outside [a-zA-Z0-9 ] (what
+    *    length(regexp_replace(text, "[a-zA-Z0-9 ]", "")) measures). */
+  def qualityScore(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var codepoints = 0
+    var alnumSpace = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) { // not a UTF-8 continuation byte
+        codepoints += 1
+        if (b == ' ' || (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9'))
+          alnumSpace += 1
+      }
+      i += 1
+    }
+    // whitespace tokens + stopword hits (ASCII case-insensitive compare)
+    val stops = QualityStopwords
+    var nTokens = 0
+    var stopHits = 0L
+    var tokStart = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        nTokens += 1
+        val len = i - tokStart
+        var sIdx = 0
+        var matched = false
+        while (!matched && sIdx < stops.length) {
+          val w = stops(sIdx)
+          if (w.length == len) {
+            var j = 0
+            var ok = true
+            while (ok && j < len) {
+              val c = bytes(tokStart + j)
+              val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+              if (lc != w(j)) ok = false
+              j += 1
+            }
+            matched = ok
+          }
+          sIdx += 1
+        }
+        if (matched) stopHits += 1L
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val lenScore = math.min(codepoints.toDouble / 500.0d, 1.0d)
+    val stopRatio = stopHits.toDouble / math.max(nTokens, 1).toDouble
+    val nonAlnumRatio = (codepoints - alnumSpace).toDouble / math.max(codepoints, 1).toDouble
+    (lenScore * 0.4d) +
+      (math.min(stopRatio * 5.0d, 1.0d) * 0.3d) +
+      ((1.0d - math.min(nonAlnumRatio * 5.0d, 1.0d)) * 0.3d)
+  }
+
+  private val QualityStopwords: Array[Array[Byte]] =
+    Array("the", "and", "of", "a", "to", "in", "is").map(_.getBytes("US-ASCII"))
+
   /** Catalyst-shaped variant of [[tokenChunks]] (also the codegen target):
     * array<struct<chunk_idx:int, chunk:string>>. */
   def tokenChunksData(s: UTF8String, size: Int, stride: Int): ArrayData = {
@@ -447,6 +517,19 @@ case class TokenChunks(child: Expression, size: Int, stride: Int) extends UnaryE
   override def prettyName: String = "token_chunks"
 }
 
+case class QualityScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"quality_score requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.qualityScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.qualityScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityScore = copy(child = newChild)
+  override def prettyName: String = "quality_score"
+}
+
 case class JaccardSim(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -483,4 +566,6 @@ object SketchFunctions {
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def tokenChunks(c: Column, size: Int, stride: Int): Column =
     ColumnBridge.column(TokenChunks(ColumnBridge.expression(c), size, stride))
+  def qualityScore(c: Column): Column =
+    ColumnBridge.column(QualityScore(ColumnBridge.expression(c)))
 }

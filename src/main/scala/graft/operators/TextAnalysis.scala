@@ -58,8 +58,16 @@ object TextAnalysis {
   }
 
   /** The composite [0,1] quality score — THE single definition consumed by
-    * qualityColumns (q15), Curate's gate, and the q38 oracle. */
-  def qualityScore(textCol: Column): Column = {
+    * qualityColumns (q15), Curate's gate, and the q38/q50 oracles. Native
+    * single-pass expression (the declarative form runs an interpreted
+    * aggregate-over-transform per document for the stopword ratio);
+    * bit-identical to [[qualityScoreDeclarative]], SketchExpressionsSpec. */
+  def qualityScore(textCol: Column): Column =
+    graft.functions.SketchFunctions.qualityScore(textCol)
+
+  /** The declarative formulation the native expression replays IEEE-op by
+    * IEEE-op — and the shape every DuckDB oracle recomputes. */
+  def qualityScoreDeclarative(textCol: Column): Column = {
     val lenScore = least(length(textCol).cast("double") / lit(500.0d), lit(1.0d))
     (lenScore * lit(0.4d)) +
       (least(stopRatioCol(textCol) * lit(5.0d), lit(1.0d)) * lit(0.3d)) +

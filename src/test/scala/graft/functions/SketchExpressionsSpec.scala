@@ -100,6 +100,24 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
   }
 
+  test("native quality_score == declarative formula on all documents + unicode edges") {
+    import org.apache.spark.sql.functions._
+    val cmp = docs.select(
+      graft.operators.TextAnalysis.qualityScoreDeclarative(col("text")).as("a"),
+      SketchFunctions.qualityScore(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+    import spark.implicits._
+    val edge = Seq(
+      "", "the", "THE AND of A", "a  b", " lead the", "trail ",
+      "ünïcode tökens the and", "добрый the день", "emoji 😀 the of",
+      "x" * 600 + " the", "punct!!! ??? ;;; the", "ＴＨＥ the") // fullwidth THE != stopword
+      .toDF("text")
+    edge.select(
+        graft.operators.TextAnalysis.qualityScoreDeclarative(col("text")).as("a"),
+        SketchFunctions.qualityScore(col("text")).as("b"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+  }
+
   test("native token_chunks == declarative chunking on all documents + edge cases") {
     import org.apache.spark.sql.functions._
     for ((size, stride) <- Seq((64, 48), (8, 8), (4, 2), (1, 1))) {

@@ -86,7 +86,15 @@ class FuzzSpec extends AnyFunSuite {
     val r = PdfExtract.parse(payload, "", objectStreams)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(r.failure == null || !r.failure.startsWith("internal:"), s"$tag -> ${r.failure}")
-    assert(ms < 1000, s"$tag took $ms ms")
+    if (ms >= 1000) {
+      // a genuine parser loop reproduces; a GC pause / noisy-host
+      // descheduling blip under parallel suite load does not — retry once
+      // before declaring a DoS-contract violation
+      val t1 = System.nanoTime()
+      PdfExtract.parse(payload, "", objectStreams)
+      val retryMs = (System.nanoTime() - t1) / 1e6
+      assert(retryMs < 1000, s"$tag took $ms ms, retry $retryMs ms")
+    }
   }
 
   test("mutation fuzz: fixture mutations (12 kinds), zero internal failures, all < 1 s") {
