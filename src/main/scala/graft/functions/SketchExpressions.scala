@@ -277,6 +277,26 @@ object SketchKernel {
   private val QualityStopwords: Array[Array[Byte]] =
     Array("the", "and", "of", "a", "to", "in", "is").map(_.getBytes("US-ASCII"))
 
+  /** BPE-ish subword estimate: sum over whitespace tokens of
+    * ceil(codepoints/4) — bit-identical to the declarative
+    * aggregate(transform(split, ceil(length/4.0)), ...) (length() counts
+    * codepoints; ceil of cp/4.0 equals the integer (cp+3)/4 exactly). */
+  def bpeEstimate(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var acc = 0L
+    var cp = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        acc += (cp + 3) / 4
+        cp = 0
+      } else if ((bytes(i) & 0xc0) != 0x80) cp += 1
+      i += 1
+    }
+    acc
+  }
+
   /** Catalyst-shaped variant of [[tokenChunks]] (also the codegen target):
     * array<struct<chunk_idx:int, chunk:string>>. */
   def tokenChunksData(s: UTF8String, size: Int, stride: Int): ArrayData = {
@@ -517,6 +537,19 @@ case class TokenChunks(child: Expression, size: Int, stride: Int) extends UnaryE
   override def prettyName: String = "token_chunks"
 }
 
+case class BpeEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bpe_estimate requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.bpeEstimate(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.bpeEstimate($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeEstimate = copy(child = newChild)
+  override def prettyName: String = "bpe_estimate"
+}
+
 case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -568,4 +601,6 @@ object SketchFunctions {
     ColumnBridge.column(TokenChunks(ColumnBridge.expression(c), size, stride))
   def qualityScore(c: Column): Column =
     ColumnBridge.column(QualityScore(ColumnBridge.expression(c)))
+  def bpeEstimate(c: Column): Column =
+    ColumnBridge.column(BpeEstimate(ColumnBridge.expression(c)))
 }

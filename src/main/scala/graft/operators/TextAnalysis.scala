@@ -40,8 +40,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))
 
-  /** BPE-ish subword-count estimate: word pieces of <= 4 chars. */
+  /** BPE-ish subword-count estimate: word pieces of <= 4 chars. Native
+    * single-pass expression, bit-identical to [[bpeTokenEstimateDeclarative]]
+    * (SketchExpressionsSpec). */
   def bpeTokenEstimate(textCol: Column): Column =
+    graft.functions.SketchFunctions.bpeEstimate(textCol)
+
+  def bpeTokenEstimateDeclarative(textCol: Column): Column =
     aggregate(transform(split(textCol, " "), t => ceil(length(t).cast("double") / 4.0d).cast("long")),
       lit(0L), (acc, v) => acc + v)
 

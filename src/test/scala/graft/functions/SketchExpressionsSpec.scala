@@ -118,6 +118,21 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
   }
 
+  test("native bpe_estimate == declarative formula on all documents + unicode edges") {
+    import org.apache.spark.sql.functions._
+    val cmp = docs.select(
+      graft.operators.TextAnalysis.bpeTokenEstimateDeclarative(col("text")).as("a"),
+      SketchFunctions.bpeEstimate(col("text")).as("b"))
+    assert(cmp.where(col("a") =!= col("b")).count() == 0)
+    import spark.implicits._
+    Seq("", "a", "abcd", "abcde", "ünïcödé tökens", "a  b", " x ", "😀😀😀😀😀")
+      .toDF("text")
+      .select(
+        graft.operators.TextAnalysis.bpeTokenEstimateDeclarative(col("text")).as("a"),
+        SketchFunctions.bpeEstimate(col("text")).as("b"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("native token_chunks == declarative chunking on all documents + edge cases") {
     import org.apache.spark.sql.functions._
     for ((size, stride) <- Seq((64, 48), (8, 8), (4, 2), (1, 1))) {
