@@ -121,6 +121,11 @@ object GraftFunctionSet {
     "cosine_sim" -> (args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
     "jaccard_sim" -> (args => { val a = arity("jaccard_sim", 2)(args); JaccardSim(a(0), a(1)) }),
     "quality_score" -> (args => QualityScore(arity("quality_score", 1)(args).head)),
+    "bpe_estimate" -> (args => BpeEstimate(arity("bpe_estimate", 1)(args).head)),
+    "token_chunks" -> (args => {
+      val a = arity("token_chunks", 3)(args)
+      TokenChunks(a(0), intLit("token_chunks", a(1)), intLit("token_chunks", a(2)))
+    }),
     // aggregate: the analyzer wraps a bare AggregateFunction builder result
     "misra_gries" -> (args => {
       val a = arity("misra_gries", 2)(args)

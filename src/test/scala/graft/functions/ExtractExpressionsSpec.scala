@@ -61,6 +61,24 @@ class ExtractExpressionsSpec extends AnyFunSuite {
     assert(cos.length == 50 && cos.forall(r => !r.isNullAt(1) && r.getSeq[Long](2).length == 2))
   }
 
+  test("jaccard_sim / quality_score / bpe_estimate are SQL-reachable and equal the API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("the quick brown fox", Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
+      .toDF("t", "a", "b").createOrReplaceTempView("sqlfns")
+    val row = spark.sql(
+      """SELECT jaccard_sim(a, b) AS j, quality_score(t) AS q, bpe_estimate(t) AS e
+        |FROM sqlfns""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 0.5)
+    val api = Seq("the quick brown fox").toDF("t")
+      .select(SketchFunctions.qualityScore(org.apache.spark.sql.functions.col("t")),
+        SketchFunctions.bpeEstimate(org.apache.spark.sql.functions.col("t")))
+      .collect()(0)
+    assert(row.getDouble(1) == api.getDouble(0))
+    // the(1) + quick(2) + brown(2) + fox(1) = 6 pieces of <= 4 chars
+    assert(row.getLong(2) == api.getLong(1) && row.getLong(2) == 6L)
+  }
+
   test("misra_gries is SQL-reachable as an aggregate") {
     import spark.implicits._
     GraftFunctions.register(spark)
