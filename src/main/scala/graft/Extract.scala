@@ -89,14 +89,33 @@ object Extract {
     val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents")
     val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
 
-    val pending = Resume.pending(input, docsTable)
-    // one input scan answers both the pending count and the batch identity
-    val pstat = pending.agg(count(lit(1)), min(col("url")), max(col("url"))).head()
-    val nPending = pstat.getLong(0)
+    val pending0 = Resume.pending(input, docsTable)
+    // one input scan answers the pending count, batch identity, AND the
+    // url-uniqueness check the once-per-url commit contract needs (the
+    // distinct count shuffles urls only, never payloads)
+    val pstat = pending0.agg(count(lit(1)), min(col("url")), max(col("url")),
+      countDistinct(col("url"))).head()
+    val nRaw = pstat.getLong(0)
+    val nPending = if (nRaw == 0) 0L else pstat.getLong(3)
     if (nPending == 0) {
       println(s"""{"job":"graft-extract","pending":0,"committed":${docsTable.committedBatches.size},"note":"nothing to do: all input urls already committed"}""")
       return
     }
+    // duplicate urls in the input would commit (and extract) a document
+    // once per copy — and with --password-column the pending×raw join
+    // would square that. Dedup DETERMINISTICALLY (latest crawl wins; md5
+    // tiebreaks make the pick stable under any partitioning) — but only
+    // when dups exist, so the clean path pays nothing beyond the distinct
+    // count above
+    val pending =
+      if (nPending == nRaw) pending0
+      else {
+        println(s"""{"job":"graft-extract","warn":"input has ${nRaw - nPending} duplicate-url rows; keeping latest warc_ts per url"}""")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+          .orderBy(col("warc_ts").desc, md5(col("html")).desc, md5(col("text")).desc, col("lang").desc)
+        pending0.toDF().withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn").as[CrawlRow]
+      }
 
     // deterministic batch id (stable across retries of the same pending
     // set) unless the caller names one
@@ -116,8 +135,14 @@ object Extract {
         // per invocation; at corpus scale it is a column); null falls back
         // to the corpus default
         require(raw != null, "--password-column requires a parquet input")
+        // join against a DEDUPLICATED url->password map: if the input
+        // parquet carries duplicate urls, a plain join would fan each
+        // pending row out once per copy and extract/commit documents
+        // multiple times, breaking the once-per-url batch contract
+        val pwMap = raw.groupBy(col("url"))
+          .agg(first(col(a.passwordColumn), ignoreNulls = true).as("__pw"))
         val salted = ExtractPipeline.saltedRepartitionByUrl(pending, parts)
-          .toDF().join(raw.select(col("url"), col(a.passwordColumn).as("__pw")), Seq("url"), "left")
+          .toDF().join(pwMap, Seq("url"), "left")
         ExtractPipeline.extractDocsWithPasswords(
           salted.select(
               struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")).as("_1"),

@@ -401,7 +401,7 @@ object SparkEntry {
     // quality_score (1e4 integer scale) — good docs kept often, junk
     // rarely; pure integer threshold, no RNG, partitioning-independent
     "q50_weighted_sample" -> ((s, dir) =>
-      TextAnalysis.weightedSample(t(s, dir, "documents"), "doc_id", "text",
+      TextAnalysis.weightedSample(t(s, dir, "documents"), "text",
           TextAnalysis.qualityScoreI4(col("text")))
         .select(col("doc_id"), col("w_i4"), col("h48"))
         .orderBy(col("doc_id"))),

@@ -171,9 +171,17 @@ object TextAnalysis {
     * arithmetic end to end (48 bits so weightI4 * 2^48 fits a signed
     * long; no float threshold an engine could round differently). The
     * quality-biased draw real curation mixes use (keep good docs with
-    * high probability, junk with low) — map-local, no shuffle. */
-  def weightedSample(df: DataFrame, idCol: String, hashCol: String,
+    * high probability, junk with low) — map-local, no shuffle. Output
+    * carries the draw (`h48`) and threshold weight (`w_i4`) columns so
+    * callers/oracles can audit the decision; those names are reserved
+    * (require-guarded) on the input. */
+  def weightedSample(df: DataFrame, hashCol: String,
                      weightI4Col: Column): DataFrame = {
+    // same reserved-name discipline as AsofJoin/RangeJoin: the working
+    // columns would silently overwrite (and leak) caller columns
+    val reserved = Set("h48", "w_i4")
+    val taken = df.columns.toSet.intersect(reserved)
+    require(taken.isEmpty, s"input uses weightedSample-reserved column names: $taken")
     df.withColumn("h48", md5PrefixLong(col(hashCol), 12))
       .withColumn("w_i4", weightI4Col.cast("long"))
       // `div`, not `/`: Spark's / is fractional (double) even on longs,

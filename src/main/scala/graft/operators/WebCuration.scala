@@ -71,11 +71,20 @@ object WebCuration {
             s => s.getField("line")),
           "\n").as("joined"))
     // one row per input doc even when text is NULL (posexplode of a null
-    // array emits nothing): re-anchor on the id set
-    df.select(col(idCol).as("id")).distinct()
+    // array emits nothing): re-anchor on the id set. Ids MUST be unique —
+    // with duplicates the per-copy texts are lost and line counts mix the
+    // copies — so the anchor counts copies in the same shuffle the old
+    // distinct() took and raise_error's loudly instead of silently
+    // collapsing rows (Curate's pre-dedup guarantees uniqueness; direct
+    // callers get the guard for free)
+    df.select(col(idCol).as("id")).groupBy(col("id"))
+      .agg(count(lit(1)).as("__copies"))
       .join(agg, Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        when(col("__copies") === 1, coalesce(col("n_lines"), lit(0L)))
+          .otherwise(raise_error(concat(
+            lit("stripBoilerplate: duplicate input id (ids must be unique): "),
+            col("id").cast("string")))).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
   }

@@ -124,4 +124,24 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(!docs(1).getAs[Boolean]("ok"))
     assert(docs(1).getAs[String]("failure") == "incorrect password")
   }
+
+  test("--password-column with duplicate input urls still commits once per url") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pwdup_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pwdup_out").toString
+    val enc = graft.pdf.Fixtures.bytes("encrypted.pdf")
+    val ts = new java.sql.Timestamp(0L)
+    // three copies of the same url (one with a null pw) — the password map
+    // must deduplicate, or each pending row fans out to 3 committed rows
+    Seq(
+      ("test://dup/encrypted.pdf", ts, enc, "", "en", null.asInstanceOf[String]),
+      ("test://dup/encrypted.pdf", ts, enc, "", "en", ""),
+      ("test://dup/encrypted.pdf", ts, enc, "", "en", ""))
+      .toDF("url", "warc_ts", "html", "text", "lang", "pw")
+      .write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--password-column", "pw", "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents").read(spark).collect()
+    assert(docs.length == 1, s"expected exactly one committed row, got ${docs.length}")
+    assert(docs(0).getAs[Boolean]("ok"), String.valueOf(docs(0).getAs[String]("failure")))
+  }
 }

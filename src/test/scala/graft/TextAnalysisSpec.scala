@@ -47,7 +47,7 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("weightedSample: kept iff h48 under the integer threshold; rate tracks weight") {
     import org.apache.spark.sql.functions._
-    val out = TextAnalysis.weightedSample(docs, "doc_id", "text",
+    val out = TextAnalysis.weightedSample(docs, "text",
       TextAnalysis.qualityScoreI4(col("text")))
     // exact membership: replay the threshold row by row
     val all = docs.select(col("doc_id"),
@@ -61,10 +61,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(all.filter(_._3 == 0L).forall(t => !got.contains(t._1)))
     assert(all.filter(_._3 == 10000L).forall(t => got.contains(t._1)))
     // partitioning-independent
-    val got2 = TextAnalysis.weightedSample(docs.repartition(13), "doc_id", "text",
+    val got2 = TextAnalysis.weightedSample(docs.repartition(13), "text",
       TextAnalysis.qualityScoreI4(col("text"))).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(got2 == got)
+  }
+
+  test("weightedSample require-fails on reserved column names") {
+    import org.apache.spark.sql.functions._
+    val bad = docs.withColumn("h48", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.weightedSample(bad, "text", TextAnalysis.qualityScoreI4(col("text")))
+    }
+    assert(e.getMessage.contains("h48"))
   }
 
   test("tokenChunks: stride overlap, ragged tail, every token covered") {

@@ -57,6 +57,16 @@ class WebCurationSpec extends AnyFunSuite {
     assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
   }
 
+  test("stripBoilerplate raise_errors on duplicate ids instead of silently collapsing") {
+    val df = Seq((1L, "aa bb"), (1L, "cc dd"), (2L, "aa bb")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      WebCuration.stripBoilerplate(df, "doc_id", "text", chunk = 2, minDocs = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate input id")))
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       "mail a.b+c@test.org and x9@y.co end",
