@@ -406,6 +406,17 @@ object SparkEntry {
         .select(col("doc_id"), col("w_i4"), col("h48"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF distinctive terms: top-3 rarest-then-most-frequent tokens per
+    // document among tokens in <= 90% of docs (the synthetic corpus has a
+    // tiny, hot vocabulary — 90% keeps the ranking non-trivial); integer
+    // ppm rarity predicate and (df, tf, md5) ranking — no log(), no
+    // collation — so DuckDB replays it exactly
+    "q51_tfidf_terms" -> ((s, dir) =>
+      TfIdf.distinctiveTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxDfPpm = 900000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
+
     // url canonicalization as a dedup key: deterministic messy variants
     // (scheme/host case, default ports, fragments, trailing slashes) of a
     // synthesized url collapse to one canonical form; output = per
@@ -1005,6 +1016,28 @@ object SparkEntry {
          SELECT doc_id, w_i4, h48 FROM w
          WHERE h48 < (w_i4 * 281474976710656) // 10000
          ORDER BY doc_id""",
+
+    // same integer ppm rarity predicate and (df asc, tf desc, md5 asc)
+    // ranking; DuckDB's md5() is the same lowercase hex so the tiebreak
+    // order is engine-exact
+    "q51_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token
+         ), dfreq AS (
+           SELECT md5(token) AS tk, count(*) AS df FROM tf GROUP BY md5(token)
+         ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+         SELECT doc_id, rnk, token, tf, df FROM (
+           SELECT tf.doc_id, tf.token, tf.tf, d.df,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY d.df ASC, tf.tf DESC, md5(tf.token) ASC) AS rnk
+           FROM tf JOIN dfreq d ON md5(tf.token) = d.tk CROSS JOIN n
+           WHERE d.df * 1000000 <= n.n_docs * 900000
+         ) WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
 
     // identical regex chain: lowercase scheme+host, strip fragment,
     // default port, trailing slash

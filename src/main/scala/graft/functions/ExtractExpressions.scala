@@ -126,6 +126,7 @@ object GraftFunctionSet {
       val a = arity("token_chunks", 3)(args)
       TokenChunks(a(0), intLit("token_chunks", a(1)), intLit("token_chunks", a(2)))
     }),
+    "token_tf" -> (args => TokenTf(arity("token_tf", 1)(args).head)),
     // aggregate: the analyzer wraps a bare AggregateFunction builder result
     "misra_gries" -> (args => {
       val a = arity("misra_gries", 2)(args)

@@ -207,6 +207,42 @@ object SketchKernel {
     out
   }
 
+  /** Per-document term frequencies of the single-space split in ONE pass:
+    * array<struct<token:string, tf:long>> in first-occurrence order, empty
+    * tokens (consecutive spaces) excluded. The map-only half of TF-IDF:
+    * each document's counts collapse locally, so token strings never have
+    * to cross an exchange just to be counted per document — equivalent to
+    * the declarative explode(split) + groupBy(id, token) but without that
+    * plan's (id, token)-keyed shuffle. */
+  def tokenTfData(s: UTF8String): ArrayData = {
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
+    val bytes = s.getBytes
+    // insertion order = first occurrence: deterministic from the text alone
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var j = 0
+    while (j < nTokens) {
+      val from = starts(j)
+      val until = starts(j + 1) - 1
+      if (until > from) {
+        val tok = UTF8String.fromBytes(bytes, from, until - from)
+        val prev = counts.get(tok)
+        if (prev == null) counts.put(tok, Array(1L)) else prev(0) += 1L
+      }
+      j += 1
+    }
+    val rows = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** The composite [0,1] quality score in ONE byte pass — bit-identical to
     * TextAnalysis.qualityScoreDeclarative (the q15/q38/q50 oracle formula):
     * every intermediate double op replays the declarative expression's
@@ -537,6 +573,24 @@ case class TokenChunks(child: Expression, size: Int, stride: Int) extends UnaryE
   override def prettyName: String = "token_chunks"
 }
 
+case class TokenTf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_tf requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.tokenTfData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.tokenTfData($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf = copy(child = newChild)
+  override def prettyName: String = "token_tf"
+}
+
 case class BpeEstimate(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -603,4 +657,6 @@ object SketchFunctions {
     ColumnBridge.column(QualityScore(ColumnBridge.expression(c)))
   def bpeEstimate(c: Column): Column =
     ColumnBridge.column(BpeEstimate(ColumnBridge.expression(c)))
+  def tokenTf(c: Column): Column =
+    ColumnBridge.column(TokenTf(ColumnBridge.expression(c)))
 }

@@ -90,15 +90,20 @@ object AsofJoin {
   def asofJoinSharded(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightCols: Seq[String], shardSeconds: Long = 86400L,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
     require(shardSeconds > 0, "shardSeconds must be positive")
     val keyCols = keys.map(col)
     // the union feeds three plan consumers (within-shard window, per-shard
     // last values, shard list) — materialize it once instead of re-reading
-    // and re-tagging both inputs per consumer (the Dedup sketch-frame rule)
+    // and re-tagging both inputs per consumer (the Dedup sketch-frame rule).
+    // reliableCheckpoint threads the same durability mode every other
+    // materialization site honors: localCheckpoint blocks die with their
+    // executor, so long runs that must survive executor loss switch to
+    // durable df.checkpoint() via the shared helper
     val u0 = packed(left, right, keys, leftTs, rightTs, rightCols)
       .withColumn("__shard", floor(unix_timestamp(col("__ts")) / lit(shardSeconds)).cast("long"))
-    val u = if (materialize) u0.localCheckpoint() else u0
+    val u = if (materialize) Dedup.checkpointDf(u0, reliableCheckpoint) else u0
 
     // carry within each (key, shard)
     val wIn = Window.partitionBy((keyCols :+ col("__shard")): _*)

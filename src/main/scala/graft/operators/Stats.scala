@@ -26,26 +26,56 @@ object Stats {
     * Output: (group, n, p<XX> per requested p). Caveat: each group's
     * DISTINCT values flow through one window partition; that is the
     * operator's scaling assumption (value spaces like document lengths
-    * are bounded), and it is why the row-space never sees a window. */
+    * are bounded), and it is why the row-space never sees a window. The
+    * assumption is ENFORCED, not just documented: a group whose distinct
+    * values exceed `maxDistinctValuesPerGroup` raise_errors loudly
+    * (naming the group) instead of silently serializing its value set
+    * into one hot window task, and the largest per-group distinct count
+    * is emitted as an observed metric (`max_distinct_values_per_group`)
+    * on every run. For near-continuous columns (epoch micros, byte
+    * sizes) pass `valueResolution` > 1: values are pre-quantized to
+    * floor(v / res) * res (exact integer arithmetic, correct for
+    * negatives), and the result is then EXACT over the quantized value
+    * space — i.e. each pXX is the smallest bucket floor whose cumulative
+    * count reaches the rank, off from the true quantile by < res. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                     ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     valueResolution: Long = 1L,
+                     maxDistinctValuesPerGroup: Long = 4L << 20): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles must lie in (0, 1], got $ps")
+    require(valueResolution >= 1L, s"valueResolution must be >= 1, got $valueResolution")
+    require(maxDistinctValuesPerGroup >= 1L,
+      s"maxDistinctValuesPerGroup must be >= 1, got $maxDistinctValuesPerGroup")
     // filter on the CAST value: a non-numeric string or NaN casts to
     // null after passing a raw isNotNull, and a (g, null) histogram row
     // would silently inflate every cum/n in its group
     val vCast = col(valueCol).cast("long")
+    // floor-multiple quantization in pure longs: v - ((v % res + res) % res)
+    // is floor(v/res)*res for either sign (Spark's / on longs is double
+    // division and loses exactness past 2^53)
+    val vq =
+      if (valueResolution == 1L) vCast
+      else {
+        val res = lit(valueResolution)
+        vCast - ((vCast % res + res) % res)
+      }
     val hist = df
       .where(vCast.isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol).as("g"), vCast.as("v"))
+      .groupBy(col(groupCol).as("g"), vq.as("v"))
       .agg(count(lit(1)).as("c"))
     // distinct v per (g, v) group => ROWS and RANGE frames agree; rows
     // keeps the Spark side aligned with the oracle's default range frame
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("g"))
     val cum = hist
       .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .withColumn("n", sum(col("c")).over(wG))
+      // rides the same per-group window shuffle — no extra pass
+      .withColumn("ndv", count(lit(1)).over(wG))
+      .observe(s"exact_quantiles_${Dedup.nextMetricSeq()}",
+        max(col("ndv")).as("max_distinct_values_per_group"))
     // percent names for round percents, basis-point names (suffix bp)
     // otherwise — the two scales must not collide (p50 vs 0.005)
     def pName(p: Double): String = {
@@ -60,6 +90,16 @@ object Stats {
       min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(name)
     }
     cum.groupBy(col("g"))
-      .agg(max(col("n")).as("n"), picks: _*)
+      .agg(
+        // the guard folds into the existing aggregate: one row per (g, v)
+        // means count(*) here IS the group's distinct-value count
+        when(count(lit(1)) > lit(maxDistinctValuesPerGroup),
+          raise_error(concat(
+            lit("exactQuantiles: group "), col("g").cast("string"),
+            lit(" has "), count(lit(1)).cast("string"),
+            lit(s" distinct values (cap $maxDistinctValuesPerGroup); " +
+              "pass valueResolution to quantize a near-continuous column"))))
+          .otherwise(max(col("n"))).as("n"),
+        picks: _*)
   }
 }

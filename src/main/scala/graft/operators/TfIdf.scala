@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SketchFunctions
+
+/** TF-IDF document-frequency statistics — the standard distinctive-term /
+  * quality signal for web-corpus curation (the one filter primitive the
+  * pipeline lacked after repetition/boilerplate/PII).
+  *
+  * Deliberately INTEGER-formulated: no log(), no floating-point scores —
+  * rarity is expressed as the exact predicate `df * 1_000_000 <=
+  * n_docs * maxDfPpm` and ranking is the total order (df asc, tf desc,
+  * md5(token) asc), so any engine reproduces the result bit-for-bit
+  * (q51's DuckDB oracle; cross-engine log() differs in ulps and ordering
+  * by raw token strings differs by collation — md5 hex order is
+  * collation-free).
+  *
+  * Scale shape (the whole point vs the naive explode + groupBy(token) +
+  * join plan, whose every exchange carries token strings):
+  *  1. per-doc term frequencies are MAP-ONLY via the native `token_tf`
+  *     expression (each document's counts collapse inside its own row —
+  *     no (id, token)-keyed shuffle to count);
+  *  2. the doc-frequency aggregate and the rarity filter + per-doc
+  *     ranking run entirely in (id, md5, tf, df) space — every counting /
+  *     ranking exchange carries 16-byte hashes and longs, never text;
+  *  3. token strings cross the wire exactly ONCE, in the final
+  *     assembly join that is itself the output (the stripBoilerplate
+  *     rule: payloads ride a shuffle only to be returned, never to be
+  *     counted). PlanSpec walks the physical plan and asserts it.
+  */
+object TfIdf {
+
+  /** (id, token, tf) — one row per distinct non-empty token per document,
+    * map-only (zero shuffles; PlanSpec-asserted). Null texts yield no
+    * rows. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(SketchFunctions.tokenTf(col(textCol))).as("t"))
+      .select(col("id"), col("t.token").as("token"), col("t.tf").as("tf"))
+
+  /** Per-token document frequency, keyed by md5(token) with a
+    * representative token string: (token, df). The counting shuffle is
+    * md5-keyed and map-side combined; the string rides along as the
+    * grouping representative (min = the only value — md5 collisions
+    * aside, one md5 = one token). */
+  def docFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .groupBy(md5(col("token")).as("tk"))
+      .agg(min(col("token")).as("token"), count(lit(1)).as("df"))
+      .select(col("token"), col("df"))
+
+  /** Top-k most DISTINCTIVE terms per document: among tokens appearing in
+    * at most `maxDfPpm` parts-per-million of documents (stopword
+    * exclusion), rank by (df asc — rarest first, tf desc — then most
+    * frequent in THIS doc, md5 asc — engine-portable tiebreak) and keep
+    * ranks 1..k.
+    *
+    * Output: (id, rnk, token, tf, df), rnk in [1, k].
+    *
+    * `materialize` checkpoints the COMPACT (id, md5, tf) frame (three
+    * consumers; ~40 bytes/row, no strings) instead of re-running the
+    * tokenize pass per consumer; the final assembly join re-streams the
+    * map-only term-frequency pass either way, so document text is never
+    * stored twice. */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, maxDfPpm: Long = 500000L,
+                       materialize: Boolean = false,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDfPpm > 0 && maxDfPpm <= 1000000L,
+      s"maxDfPpm must lie in (0, 1000000], got $maxDfPpm")
+    val tf = termFrequencies(df, idCol, textCol)
+    // compact space: strings dropped before ANY exchange
+    val tfc0 = tf.select(col("id"), md5(col("token")).as("tk"), col("tf"))
+    val tfc = if (materialize) Dedup.checkpointDf(tfc0, reliableCheckpoint) else tfc0
+    // tf has one row per distinct (doc, token) => count(*) IS the doc freq
+    val dfreq = tfc.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    // corpus size as a 1-row frame (broadcast), not a driver action — the
+    // operator stays lazy/composable
+    val nRow = tfc.agg(countDistinct(col("id")).as("n_docs"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("tf").desc, col("tk").asc)
+    val winners = tfc
+      .join(dfreq, Seq("tk"))
+      .crossJoin(broadcast(nRow))
+      .where(col("df") * lit(1000000L) <= col("n_docs") * lit(maxDfPpm))
+      .withColumn("rnk", row_number().over(wDoc).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("id"), col("tk"), col("rnk"), col("tf"), col("df"))
+    // assembly: recover token strings by (id, md5) — the single
+    // string-carrying exchange, and it IS the output
+    winners
+      .join(tf.select(col("id"), md5(col("token")).as("tk"), col("token")), Seq("id", "tk"))
+      .select(col("id"), col("rnk"), col("token"), col("tf"), col("df"))
+  }
+}

@@ -216,6 +216,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: term frequencies are map-only; counting/ranking exchanges are md5-keyed; strings ride only the assembly join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // tf is a pure map pass over the scan — zero exchanges
+    assert(collectShuffles(graft.operators.TfIdf.termFrequencies(docs, "doc_id", "text")).isEmpty)
+    val out = graft.operators.TfIdf.distinctiveTerms(docs, "doc_id", "text", k = 3)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    // document text never rides any exchange; token strings appear ONLY in
+    // exchanges keyed by (id, tk) — the final output-assembly join — while
+    // every counting (df) and ranking exchange carries hashes and longs
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.contains("text"), s"shuffle carries ${names.mkString(",")}")
+      if (names.contains("token")) {
+        val partCols = s.outputPartitioning.toString
+        assert(partCols.contains("id#") && partCols.contains("tk#"),
+          s"token-carrying exchange not the (id, tk) assembly join: $partCols")
+      }
+    }
+    assert(shuffles.exists(s => !s.output.map(_.name).contains("token")),
+      "expected compact (md5-keyed) counting exchanges")
+  }
+
   test("heavy hitters: sketch partial-agg + broadcast semi join, no token-keyspace shuffle before it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hh = graft.operators.TextAnalysis.heavyHitterTokens(docs, "text", minFreq = 500)
