@@ -178,6 +178,17 @@ object Extract {
           decode(col("contents"), "UTF-8").as("text")),
         stripBoilerplate = a.stripBoilerplate)
       new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
+      // persist the CC convergence profile of THIS curate run (per-round
+      // frontier size + rounds-to-convergence) — the monitoring signal a
+      // 100 TB operator watches to catch degenerate duplicate graphs; the
+      // curate commit above forced the pipeline, so the eager CC rounds
+      // have already run and their stats are final
+      val cc = graft.operators.Dedup.lastCcRounds
+      import spark.implicits._
+      new ParquetManifestTable(s"${a.outRoot}/metrics_cc").commit(
+        cc.map(r => (batchId, r.round, r.frontier, cc.length - 1))
+          .toDF("batch_id", "round", "frontier", "rounds_to_convergence"),
+        batchId)
     }
 
     if (a.sinks) {

@@ -128,4 +128,51 @@ object AsofJoin {
       .withColumn("__carried", coalesce(col("__in"), col("__before"))),
       rightCols)
   }
+
+  /** The as-of join as EXECUTABLE SPARK SQL — the SQL surface for
+    * SQL-first users (DuckDB spells this `ASOF LEFT JOIN`; Spark has no
+    * such syntax, so the recipe expands to the identical union-sort
+    * carry-forward formulation the Scala API plans). `leftTable` /
+    * `rightTable` are table or temp-view names resolved through the
+    * session catalog (needed to type the cross-side NULL structs and
+    * enumerate output columns). Run the returned string with
+    * `spark.sql(...)`; rows are identical to [[asofJoin]]
+    * (AsofJoinSpec parity case). */
+  def sqlRecipe(spark: org.apache.spark.sql.SparkSession,
+                leftTable: String, rightTable: String, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                rightCols: Seq[String]): String = {
+    def q(c: String) = s"`$c`"
+    val left = spark.table(leftTable)
+    val right = spark.table(rightTable)
+    require(rightCols.nonEmpty, "asofJoin needs at least one right value column")
+    val collide = left.columns.toSet.intersect(rightCols.toSet)
+    require(collide.isEmpty, s"right value columns collide with left columns: $collide")
+    val reserved = Set("__ts", "__side", "__lval", "__rval", "__carried")
+    val taken = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(taken.isEmpty, s"inputs use asofJoin-reserved column names: $taken")
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(rightCols.map(c => right.schema(c)).toArray)
+    val keyList = keys.map(q).mkString(", ")
+    val lStruct = left.columns.map(c => s"'$c', ${q(c)}").mkString("named_struct(", ", ", ")")
+    val rStruct = rightCols.map(c => s"'$c', ${q(c)}").mkString("named_struct(", ", ", ")")
+    val rNotNull = (keys :+ rightTs).map(c => s"${q(c)} IS NOT NULL").mkString(" AND ")
+    val outCols = (left.columns.map(c => s"__lval.${q(c)} AS ${q(c)}") ++
+      rightCols.map(c => s"__carried.${q(c)} AS ${q(c)}")).mkString(", ")
+    s"""WITH __u AS (
+       |  SELECT $keyList, ${q(leftTs)} AS __ts, 1 AS __side,
+       |         $lStruct AS __lval, CAST(NULL AS ${rType.sql}) AS __rval
+       |  FROM ${q(leftTable)}
+       |  UNION ALL
+       |  SELECT $keyList, ${q(rightTs)} AS __ts, 0 AS __side,
+       |         CAST(NULL AS ${lType.sql}) AS __lval, $rStruct AS __rval
+       |  FROM ${q(rightTable)} WHERE $rNotNull
+       |), __c AS (
+       |  SELECT *, last_value(__rval, true) OVER (
+       |    PARTITION BY $keyList ORDER BY __ts ASC, __side ASC, __rval ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __carried
+       |  FROM __u
+       |)
+       |SELECT $outCols FROM __c WHERE __side = 1""".stripMargin
+  }
 }

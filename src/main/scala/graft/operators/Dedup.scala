@@ -380,11 +380,31 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) drops the round count to O(log^2 n); dedup graphs do not
     * need it. */
+  /** One convergence round of a CC run: `frontier` is the changed-label
+    * node count (min-label variant) or the active edge count (stars
+    * variant) entering the next round. */
+  final case class CcRound(round: Int, frontier: Long)
+
+  // Per-process observability for the MOST RECENT CC run (both variants
+  // are EAGER — they drive their rounds as jobs before returning — so the
+  // stats are complete the moment the call returns). A monitoring hook,
+  // not a correctness channel: concurrent CC runs in one driver overwrite
+  // each other's entry, last-writer-wins.
+  private val lastCcRoundsRef =
+    new java.util.concurrent.atomic.AtomicReference[Seq[CcRound]](Seq.empty)
+
+  /** Per-round frontier sizes + rounds-to-convergence of the most recent
+    * connectedComponents / connectedComponentsStars run — what a 100 TB
+    * operator persists to watch CC behavior (Extract --curate lands these
+    * in the metrics_cc table). */
+  def lastCcRounds: Seq[CcRound] = lastCcRoundsRef.get()
+
   def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50,
                           reliableCheckpoint: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    val rounds = Seq.newBuilder[CcRound]
     try {
       edges.count() // materialize once; reused every round
 
@@ -407,6 +427,7 @@ object Dedup {
       var (labels, frontierN) = checkpointWithChanged(
         ids.select(col("id"), col("id").cast("long").as("label"), lit(true).as("changed")))
       var iter = 0
+      rounds += CcRound(iter, frontierN)
       while (frontierN > 0 && iter < maxIter) {
         val nbrMin = edges
           .join(labels.where(col("changed")).select(col("id").as("dst"), col("label")), Seq("dst"))
@@ -419,7 +440,9 @@ object Dedup {
         labels = next
         frontierN = n
         iter += 1
+        rounds += CcRound(iter, frontierN)
       }
+      lastCcRoundsRef.set(rounds.result())
       // an unconverged result is silently-wrong dedup — fail loudly instead.
       // maxIter bounds the component DIAMETER; graphs deeper than that want
       // the large-star/small-star scheme cited above.
@@ -481,6 +504,8 @@ object Dedup {
       reliableCheckpoint)
     var count = edges.count()
     var iter = 0
+    val rounds = Seq.newBuilder[CcRound]
+    rounds += CcRound(iter, count)
     var converged = count == 0L
     while (!converged && iter < maxIter) {
       val next = checkpointDf(smallStar(largeStar(edges)), reliableCheckpoint)
@@ -489,7 +514,9 @@ object Dedup {
       edges = next
       count = nextCount
       iter += 1
+      rounds += CcRound(iter, if (converged) 0L else nextCount)
     }
+    lastCcRoundsRef.set(rounds.result())
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStars did not converge in $maxIter alternating rounds")

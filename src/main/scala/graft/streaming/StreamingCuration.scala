@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.WebCuration
+import graft.sources.ParquetManifestTable
+
+/** Streaming leg of the boilerplate-strip curation stage: cross-document
+  * line frequencies accumulate in a persistent counts table as documents
+  * arrive, and a line crossing the `minDocs` threshold RETROACTIVELY
+  * strikes itself from every earlier document that contains it.
+  *
+  * That retroactivity is the crux: a purely per-arrival emit can never
+  * equal the batch operator (a doc emitted before its nav line became hot
+  * would keep the line forever), so each micro-batch UPSERTS a new version
+  * of every AFFECTED document — the batch's own docs plus the existing
+  * docs that contain a newly-hot line — and the table's latest-version
+  * view converges to exactly `WebCuration.stripBoilerplate` over all
+  * delivered documents (StreamingCurationSpec parity).
+  *
+  * Incremental shape (why this scales where re-running batch per trigger
+  * would not): per micro-batch the counting shuffle is the BATCH's
+  * (line_md5, id) pairs merged into the counts snapshot by md5; the
+  * recompute touches only affected documents' lines (newly-hot lines are
+  * rare in steady state — a line crosses the threshold once, ever), and
+  * the line store is append-only. All state lives in snapshot-committed
+  * tables keyed by the DETERMINISTIC stream batch id, so a crash between
+  * commits replays idempotently (TableIO re-commit of a committed batch is
+  * a no-op, and the pre-batch counts are read by explicit batch-id
+  * ordering, never "latest").
+  *
+  * Re-arriving ids (a re-crawled url) follow the streaming first-seen-wins
+  * contract: they are dropped against the committed id set — the batch
+  * operator raise_errors on duplicate ids instead, because in batch a dup
+  * id is a caller bug while in a stream it is ordinary re-delivery.
+  */
+object StreamingCuration {
+
+  /** Start the strip stream over a streaming (id: long, text: string)
+    * frame. State + output land under `stateRoot`:
+    * `lines/` (append), `counts/` (versioned snapshots), `clean/`
+    * (versioned upserts — read with [[readClean]]). */
+  def start(docs: DataFrame, stateRoot: String, checkpointDir: String,
+            chunk: Int = 8, minDocs: Long = 2L,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateRoot, chunk, minDocs, f"b$batchId%08d")
+      }
+      .start()
+
+  /** The latest committed version of every document:
+    * (id, n_lines, n_kept, clean_text). */
+  def readClean(spark: SparkSession, stateRoot: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__v").desc)
+    new ParquetManifestTable(s"$stateRoot/clean").read(spark)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
+
+  /** One micro-batch: append lines, merge counts, recompute + upsert
+    * affected documents. Exposed for direct testing of the foreachBatch
+    * body. `batchId` must be unique and lexicographically ordered across
+    * the stream's life (the f"b%08d" ids from [[start]] are). */
+  private[streaming] def processBatch(batch: DataFrame, stateRoot: String,
+                                      chunk: Int, minDocs: Long,
+                                      batchId: String): Unit = {
+    val spark = batch.sparkSession
+    val linesT = new ParquetManifestTable(s"$stateRoot/lines")
+    val countsT = new ParquetManifestTable(s"$stateRoot/counts")
+    val cleanT = new ParquetManifestTable(s"$stateRoot/clean")
+
+    // ---- 0: first-seen-wins vs committed ids, deterministic within-batch
+    val inBatch = batch.select(col("id"), col("text"))
+      .groupBy(col("id"))
+      // a re-fetch delivered twice INSIDE one batch: pick by md5 order so
+      // retries reduce identically (null text sorts first via the '' key)
+      .agg(min_by(col("text"), coalesce(md5(col("text")), lit(""))).as("text"))
+    val fresh0 =
+      if (cleanT.exists && cleanT.committedBatches.nonEmpty)
+        inBatch.join(cleanT.read(spark).select("id").distinct(), Seq("id"), "left_anti")
+      else inBatch
+    // several consumers below; this is one micro-batch — small — so a
+    // local materialization is the right tool
+    val fresh = fresh0.localCheckpoint()
+
+    // ---- 1: append the batch's lines (id, idx, line, line_md5)
+    val linesB = fresh
+      .select(col("id"),
+        posexplode(WebCuration.tokenLines(col("text"), chunk)).as(Seq("idx", "line")))
+      .withColumn("line_md5", md5(col("line")))
+      .localCheckpoint()
+    linesT.commit(linesB, batchId)
+
+    // ---- 2: merge counts. The PRE-batch snapshot is the newest batch id
+    // strictly BEFORE this one (never "latest": a crash-retry would read
+    // its own first attempt and double-count)
+    val prevBatches = countsT.committedBatches.filter(_ < batchId)
+    val old =
+      if (prevBatches.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("line_md5",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType))))
+      else countsT.readBatch(spark, prevBatches.max)
+    val countsB = linesB.groupBy(col("line_md5"))
+      .agg(countDistinct(col("id")).as("n_b"))
+    val merged = old.join(countsB, Seq("line_md5"), "full_outer")
+      .select(col("line_md5"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_docs"))
+      .localCheckpoint()
+    countsT.commit(merged, batchId)
+
+    // ---- 3: lines newly crossing the threshold in THIS batch
+    val newlyHot = merged.where(col("n_docs") >= minDocs)
+      .join(old.where(col("n_docs") >= minDocs).select("line_md5"), Seq("line_md5"), "left_anti")
+      .select("line_md5")
+
+    // ---- 4: affected = this batch's docs + existing docs holding a
+    // newly-hot line (their stored versions must lose it)
+    val linesAll = linesT.read(spark) // includes this batch's append
+    val affectedIds = fresh.select(col("id"))
+      .unionByName(linesAll.join(newlyHot, Seq("line_md5"), "left_semi").select(col("id")))
+      .distinct()
+
+    // ---- 5: recompute affected docs against the FULL merged counts with
+    // the one shared reassembly (WebCuration.reassemble), upsert-version
+    val hot = merged.where(col("n_docs") >= minDocs)
+      .select(col("line_md5"), lit(true).as("hot"))
+    val linesAff = linesAll.join(affectedIds, Seq("id"), "left_semi")
+    val agg = WebCuration.reassemble(linesAff, hot)
+    val out = affectedIds
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("clean_text"),
+        lit(batchId).as("__v"))
+    cleanT.commit(out, batchId)
+  }
+}

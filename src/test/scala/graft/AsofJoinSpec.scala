@@ -92,4 +92,22 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(reliable.toSeq == plain.toSeq, "reliableCheckpoint=true must be row-identical")
     } finally prevDir.foreach(sc.setCheckpointDir)
   }
+
+  test("SQL recipe reproduces the q37 asof join through spark.sql") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+      .select(col("user_id"), col("view_ts"), col("view_event_id"))
+    purchases.createOrReplaceTempView("asof_sql_left")
+    views.createOrReplaceTempView("asof_sql_right")
+    val sql = AsofJoin.sqlRecipe(spark, "asof_sql_left", "asof_sql_right",
+      Seq("user_id"), "ts", "view_ts", Seq("view_event_id", "view_ts"))
+    val viaSql = spark.sql(sql).orderBy("event_id").collect().map(_.toString).toSeq
+    val viaApi = AsofJoin.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+      Seq("view_event_id", "view_ts")).orderBy("event_id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
 }

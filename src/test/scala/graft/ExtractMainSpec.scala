@@ -81,6 +81,16 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(curated.select("doc_id").distinct().count() == 4)
     assert(curated.select("detected_lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
 
+    // --curate also lands the CC convergence profile: per-round frontier
+    // sizes ending at 0 plus rounds_to_convergence, tagged with the batch
+    val ccMetrics = new graft.sources.ParquetManifestTable(s"$outDir/metrics_cc")
+      .readLatest(spark).orderBy("round").collect()
+    assert(ccMetrics.nonEmpty, "CC round metrics must land with --curate")
+    assert(ccMetrics.map(_.getAs[Int]("round")).toSeq == ccMetrics.indices.toSeq)
+    assert(ccMetrics.last.getAs[Long]("frontier") == 0L, "converged runs end at frontier 0")
+    assert(ccMetrics.head.getAs[Int]("rounds_to_convergence") == ccMetrics.length - 1)
+    assert(ccMetrics.head.getAs[String]("batch_id").nonEmpty)
+
     // run 4: one new article + --strip-boilerplate --curate, exercising
     // the job-flag plumbing end to end. At the production default
     // (minDocs=30) this 7-article corpus has no template-scale lines, so

@@ -51,4 +51,25 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(bucketed == naive, s"bucketSeconds=$w")
     }
   }
+
+  test("SQL recipe reproduces the q44 range join through spark.sql") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s"), (col("ts") + expr("INTERVAL 3 DAYS")).as("e"))
+    clicks.createOrReplaceTempView("range_sql_points")
+    windows.createOrReplaceTempView("range_sql_intervals")
+    val sql = RangeJoin.sqlRecipe(spark, "range_sql_points", "range_sql_intervals",
+      Seq("user_id"), "ts", "s", "e", bucketSeconds = 86400L)
+    val viaSql = spark.sql(sql)
+      .select(col("event_id"), col("signup_id"), col("user_id"), col("ts"))
+      .orderBy("event_id", "signup_id").collect().map(_.toString).toSeq
+    val viaApi = RangeJoin.rangeJoin(clicks, windows, Seq("user_id"), "ts", "s", "e",
+        bucketSeconds = 86400L)
+      .select(col("event_id"), col("signup_id"), col("user_id"), col("ts"))
+      .orderBy("event_id", "signup_id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
 }

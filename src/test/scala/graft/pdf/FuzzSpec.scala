@@ -4,11 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import graft.sources.CrawlCorpus.splitmix64
 
-/** The deterministic mutation engine (12 kinds), shared by FuzzSpec and
+/** The deterministic mutation engine (14 kinds), shared by FuzzSpec and
   * the large out-of-band sweeps (FuzzSweep). */
 object FuzzMutations {
   def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
-    val kind = math.floorMod(splitmix64(seed), 12L).toInt
+    val kind = math.floorMod(splitmix64(seed), 14L).toInt
     val b = base.clone()
     def idx(k: Long): Int =
       if (b.length == 0) 0 else math.floorMod(splitmix64(seed ^ k), b.length.toLong).toInt
@@ -61,11 +61,33 @@ object FuzzMutations {
           "/StmF /StdCF /StrF /Identity /EFF /StdCF>> /Crypt /Identity ").getBytes(ISO_8859_1)
         java.util.Arrays.copyOfRange(b, 0, idx(14)) ++ tok ++
           java.util.Arrays.copyOfRange(b, idx(14).min(b.length), b.length)
-      case _ => // corrupt numeric fields: overwrite a digit run with a huge
+      case 11 => // corrupt numeric fields: overwrite a digit run with a huge
         // length-looking number (length bombs, offset bombs)
         val tok = " 2147483647 999999999999999999 ".getBytes(ISO_8859_1)
         java.util.Arrays.copyOfRange(b, 0, idx(15)) ++ tok ++
           java.util.Arrays.copyOfRange(b, idx(15).min(b.length), b.length)
+      case 12 => // filter-chain bombs (round-4 widening): deep /Filter
+        // arrays + predictor Columns/Colors/BitsPerComponent extremes
+        // aimed at the bit-granular TIFF path and the PNG row machinery
+        val tok = (" /Filter [/FlateDecode /LZWDecode /ASCIIHexDecode /ASCII85Decode " +
+          "/RunLengthDecode /FlateDecode /FlateDecode /LZWDecode] " +
+          "/DecodeParms [<</Predictor 2 /Columns 2147483647 /Colors 64 /BitsPerComponent 1>> " +
+          "<</Predictor 15 /Columns 0 /Colors 0 /BitsPerComponent 16>> " +
+          "<</Predictor 2 /Columns 3 /Colors 3 /BitsPerComponent 2 /EarlyChange 0>> null] ")
+          .getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(16)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(16).min(b.length), b.length)
+      case _ => // cross-document password material (round-4 widening):
+        // splice another fixture's tail UNDER an injected security handler
+        // whose V/R/Length/O/U shapes disagree with it — key derivation and
+        // password verification must fail per-document, never hang or throw
+        val other = Fixtures.all(math.floorMod(splitmix64(seed ^ 17), Fixtures.all.length.toLong).toInt)._2
+        val tok = (" /Encrypt <</Filter /Standard /V 1 /R 2 /Length 40 /P -1 " +
+          "/O (short) /U () /EncryptMetadata false>> " +
+          "/Encrypt <</Filter /Standard /V 5 /R 6 /CF <</StdCF <</CFM /AESV3 /Length 32>>>>>> ")
+          .getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(18)) ++ tok ++
+          java.util.Arrays.copyOfRange(other, idx(19).min(other.length - 1).max(0), other.length)
     }
   }
 }
@@ -97,7 +119,7 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("mutation fuzz: fixture mutations (12 kinds), zero internal failures, all < 1 s") {
+  test("mutation fuzz: fixture mutations (14 kinds), zero internal failures, all < 1 s") {
     for (fi <- Fixtures.all.indices; s <- 0 until 100)
       check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
   }
@@ -139,6 +161,36 @@ class FuzzSpec extends AnyFunSuite {
       val b = Array.tabulate[Byte](len)(i => (splitmix64(s * 131L + i) & 0xff).toByte)
       System.arraycopy("%PDF-1.7\n".getBytes(ISO_8859_1), 0, b, 0, math.min(9, len))
       check(b, s"rand#$s")
+    }
+  }
+
+  test("filter-chain bombs on a REAL stream: deep chains and predictor extremes terminate clean") {
+    // a valid document whose one content stream carries increasingly
+    // hostile filter metadata — unlike the token-injection kind, the
+    // decode chain actually RUNS here because the stream itself is intact
+    def doc(filterMeta: String): Array[Byte] =
+      ("%PDF-1.7\n1 0 obj\n<</Length 11 " + filterMeta + ">>\nstream\nhello world\nendstream\nendobj\n" +
+        "trailer <</Root 2 0 R>>\n").getBytes(ISO_8859_1)
+    val metas = Seq(
+      "/Filter [" + ("/FlateDecode " * 64) + "]",
+      "/Filter [/LZWDecode /LZWDecode /LZWDecode /LZWDecode]",
+      "/Filter /FlateDecode /DecodeParms <</Predictor 2 /Columns 2147483647 /Colors 2147483647 /BitsPerComponent 16>>",
+      "/Filter /FlateDecode /DecodeParms <</Predictor 2 /Columns 3 /Colors 3 /BitsPerComponent 1>>",
+      "/Filter /FlateDecode /DecodeParms <</Predictor 14 /Columns -1 /Colors 0 /BitsPerComponent 0>>",
+      "/Filter /RunLengthDecode /DecodeParms <</Predictor 2 /Columns 999999999 /BitsPerComponent 2>>")
+    metas.zipWithIndex.foreach { case (m, i) => check(doc(m), s"filter-bomb#$i") }
+  }
+
+  test("cross-document password mutations: mismatched V/R/O/U shapes fail per-document, fast") {
+    val enc = Fixtures.bytes("encrypted.pdf")
+    for (s <- 0 until 200) {
+      val m = FuzzMutations.mutate(enc, 13L + 14L * s) // kind-13 lane plus neighbors
+      for (pw <- Seq("", "wrong", "a" * 127)) {
+        val t0 = System.nanoTime()
+        val r = PdfExtract.parse(m, pw)
+        assert(r.failure == null || !r.failure.startsWith("internal:"), s"xpw#$s/$pw -> ${r.failure}")
+        assert((System.nanoTime() - t0) / 1e6 < 2000, s"xpw#$s/$pw slow")
+      }
     }
   }
 

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.operators.WebCuration
+
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def cleanRows(stateRoot: String): Seq[(Long, Long, Long, String)] =
+    StreamingCuration.readClean(spark, stateRoot)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  private def batchRows(docs: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String)] =
+    WebCuration.stripBoilerplate(docs, "doc_id", "text", chunk = 2, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("streaming strip == batch stripBoilerplate over a two-batch delivery (retroactive strike)") {
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_state").toString
+    // delivery 1: "shared nav" appears in ONE doc only — not yet boilerplate
+    val d1 = Seq(
+      (1L, "shared nav body one"),
+      (2L, "solo text here now")).toDF("id", "text")
+    // delivery 2: doc 3 re-uses "shared nav" (now in 2 docs -> hot) and doc 4
+    // is null-text; doc 1's stored version must retroactively lose the line
+    val d2 = Seq(
+      (3L, "shared nav body three"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+
+    StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L, "b00000000")
+    // after batch 1 nothing is hot: doc 1 keeps both lines
+    val after1 = cleanRows(stateRoot)
+    assert(after1.find(_._1 == 1L).get == ((1L, 2L, 2L, "shared nav\nbody one")))
+
+    StreamingCuration.processBatch(d2, stateRoot, chunk = 2, minDocs = 2L, "b00000001")
+    val streaming = cleanRows(stateRoot)
+    val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
+    assert(streaming == batchRows(all),
+      s"streaming=$streaming\nbatch=${batchRows(all)}")
+    // the retroactive strike actually happened
+    assert(streaming.find(_._1 == 1L).get == ((1L, 2L, 1L, "body one")))
+    assert(streaming.find(_._1 == 4L).get == ((4L, 0L, 0L, null)))
+  }
+
+  test("crash-retry of a committed batch id is a no-op (idempotent state)") {
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_retry").toString
+    val d1 = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("id", "text")
+    StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L, "b00000000")
+    val before = cleanRows(stateRoot)
+    // the retry replays the same batch id: every table commit must no-op
+    // and counts must NOT double
+    StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L, "b00000000")
+    assert(cleanRows(stateRoot) == before)
+    val d2 = Seq((3L, "aa bb zz yy")).toDF("id", "text")
+    StreamingCuration.processBatch(d2, stateRoot, chunk = 2, minDocs = 2L, "b00000001")
+    val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
+    assert(cleanRows(stateRoot) == batchRows(all))
+  }
+
+  test("re-delivered ids are dropped first-seen-wins, not double-counted") {
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_redeliver").toString
+    val d1 = Seq((1L, "aa bb cc dd")).toDF("id", "text")
+    StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L, "b00000000")
+    // id 1 re-arrives with different text + appears twice in-batch: ignored
+    val d2 = Seq((1L, "xx yy"), (1L, "zz ww"), (2L, "aa bb")).toDF("id", "text")
+    StreamingCuration.processBatch(d2, stateRoot, chunk = 2, minDocs = 2L, "b00000001")
+    val all = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("doc_id", "text")
+    assert(cleanRows(stateRoot) == batchRows(all))
+  }
+
+  test("end-to-end through a real file-source stream across two runs") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in").toString
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_st").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_scur_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.start(stream, stateRoot, ckDir,
+        chunk = 2, minDocs = 2L, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+
+    Seq((1L, "shared nav body one"), (2L, "plain text")).toDF("id", "text")
+      .write.mode("append").parquet(inDir)
+    run()
+    Seq((3L, "shared nav body three")).toDF("id", "text")
+      .write.mode("append").parquet(inDir)
+    run()
+
+    val all = Seq(
+      (1L, "shared nav body one"), (2L, "plain text"), (3L, "shared nav body three"))
+      .toDF("doc_id", "text")
+    assert(cleanRows(stateRoot) == batchRows(all))
+  }
+}
