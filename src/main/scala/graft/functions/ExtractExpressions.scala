@@ -127,10 +127,14 @@ object GraftFunctionSet {
       TokenChunks(a(0), intLit("token_chunks", a(1)), intLit("token_chunks", a(2)))
     }),
     "token_tf" -> (args => TokenTf(arity("token_tf", 1)(args).head)),
-    // aggregate: the analyzer wraps a bare AggregateFunction builder result
+    // aggregates: the analyzer wraps a bare AggregateFunction builder result
     "misra_gries" -> (args => {
       val a = arity("misra_gries", 2)(args)
       MisraGries(a(0), intLit("misra_gries", a(1)))
+    }),
+    "hll_distinct" -> (args => {
+      val a = arity("hll_distinct", 2)(args)
+      HllDistinct(a(0), intLit("hll_distinct", a(1)))
     }))
 }
 
