@@ -417,6 +417,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // test-set decontamination: flag docs sharing >= 3 distinct 5-token
+    // shingles (md5 space — oracle-portable) with a synthesized benchmark
+    // set (every 50th doc); the hygiene pass that keeps eval sets out of
+    // training data. contaminated cast to BIGINT for cross-engine hashing
+    "q52_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.flag(docs, docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
+          w = 5, minOverlap = 3L)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // url canonicalization as a dedup key: deterministic messy variants
     // (scheme/host case, default ports, fragments, trailing slashes) of a
     // synthesized url collapse to one canonical form; output = per
@@ -1038,6 +1051,33 @@ object SparkEntry {
            WHERE d.df * 1000000 <= n.n_docs * 900000
          ) WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    // same shingle space: md5 of the 5-token windows of the single-space
+    // split (DuckDB 1-based inclusive slice == the native token_chunks
+    // byte ranges); LEFT JOIN + count(hit) = per-doc overlap
+    "q52_decontaminate" ->
+      """WITH ctok AS (
+           SELECT doc_id, string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL
+         ), csh AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS sh
+           FROM ctok, unnest(generate_series(1, len(ts) - 4)) AS t(i)
+         ), btok AS (
+           SELECT string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL AND doc_id % 50 = 0
+         ), bsh AS (
+           SELECT DISTINCT md5(array_to_string(ts[i:i+4], ' ')) AS sh
+           FROM btok, unnest(generate_series(1, len(ts) - 4)) AS t(i)
+         ), m AS (
+           SELECT c.doc_id, count(*) AS n_shingles, count(b.sh) AS n_matched
+           FROM csh c LEFT JOIN bsh b USING (sh) GROUP BY c.doc_id
+         )
+         SELECT d.doc_id,
+                coalesce(m.n_shingles, 0) AS n_shingles,
+                coalesce(m.n_matched, 0) AS n_matched,
+                CAST(coalesce(m.n_matched, 0) >= 3 AS BIGINT) AS contaminated
+         FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
 
     // identical regex chain: lowercase scheme+host, strip fragment,
     // default port, trailing slash

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("shingleMd5s: exact w-token windows, distinct, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "a b c d a b c d")).toDF("doc_id", "text")
+    val out = Decontaminate.shingleMd5s(df, "doc_id", "text", w = 3)
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1: "a b c", "b c d" -> 2; doc 2: no 3-grams; doc 3: windows
+    // repeat ("a b c" x2, "b c d" x2, "c d a", "d a b") -> 4 DISTINCT
+    assert(out == Map(1L -> 2L, 3L -> 4L))
+  }
+
+  test("flag: benchmark overlap counted on distinct shingles; anchor keeps null-text docs") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i"),      // contains the benchmark phrase
+      (2L, "q w e zz yy xx"),       // one shared 3-gram only
+      (3L, "totally different words here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val out = Decontaminate.flag(corpus, bench, "doc_id", "text", w = 3, minOverlap = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // bench 3-grams: qwe, wer, ert, rty
+    // doc 1 shingles: qwe wer ert rty tyu yui -> 4 matched -> contaminated
+    // doc 2: qwe matched only -> 1 < 2 -> clean
+    assert(out == Seq(
+      (1L, 6L, 4L, true),
+      (2L, 4L, 1L, false),
+      (3L, 2L, 0L, false),
+      (4L, 0L, 0L, false)))
+  }
+
+  test("flag == brute-force set overlap on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val w = 5
+    val got = Decontaminate.flag(docs, bench, "doc_id", "text", w = w, minOverlap = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    def shingles(text: String): Set[String] = {
+      val ts = text.split(" ", -1)
+      (0 to ts.length - w).map(i => ts.slice(i, i + w).mkString(" ")).toSet
+    }
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val benchSh = rows.filter(_._1 % 50 == 0).flatMap(_._2.map(shingles).getOrElse(Set.empty)).toSet
+    val expected = rows.map { case (id, t) =>
+      val sh = t.map(shingles).getOrElse(Set.empty)
+      val m = sh.count(benchSh.contains).toLong
+      (id, sh.size.toLong, m, m >= 3L)
+    }.toSet
+    assert(got == expected)
+    // the benchmark docs themselves must always be flagged (full overlap)
+    assert(got.filter(r => r._1 % 50 == 0 && r._2 > 0).forall(_._4))
+    assert(got.exists(!_._4), "some corpus docs must be clean or the fixture is vacuous")
+  }
+
+  test("partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) =
+      Decontaminate.flag(docs.repartition(parts),
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 5, minOverlap = 3L)
+        .orderBy("id").collect().map(_.toString).toSeq
+    assert(run(2) == run(13))
+  }
+}

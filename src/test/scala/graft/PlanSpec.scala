@@ -239,6 +239,19 @@ class PlanSpec extends AnyFunSuite {
       "expected compact (md5-keyed) counting exchanges")
   }
 
+  test("decontaminate: every exchange carries shingle md5s and ids, never text or chunks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.Decontaminate.flag(docs,
+      docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 5, minOverlap = 3L)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "text" || n == "c" || n == "chunk"),
+        s"shuffle carries ${names.mkString(",")}")
+    }
+  }
+
   test("heavy hitters: sketch partial-agg + broadcast semi join, no token-keyspace shuffle before it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hh = graft.operators.TextAnalysis.heavyHitterTokens(docs, "text", minFreq = 500)
