@@ -417,6 +417,31 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // per-label embedding centroids in integer 1e-4 space: elementwise
+    // mean as (label, dim, n, mean_i4) rows — float->double widening +
+    // floor*1e4 + long sums are order-independent and IEEE-identical in
+    // both engines (a double mean would hash-differ by summation order)
+    "q54_group_centroids" -> ((s, dir) =>
+      Similarity.groupCentroidsI4(t(s, dir, "embeddings"), "label", "embedding")
+        .withColumnRenamed("g", "label")
+        .orderBy(col("label"), col("dim"))),
+
+    // rare-token (OOV) ratio: share of token occurrences whose corpus doc
+    // frequency is 1 — the synthetic vocabulary is tiny and hot, so each
+    // doc gets one (doc_id % 7 == 0: two) injected unique token(s) to make
+    // the signal non-vacuous; integer ppm arithmetic end to end
+    "q53_rare_tokens" -> ((s, dir) => {
+      val withRare = t(s, dir, "documents").select(col("doc_id"),
+        when(col("text").isNotNull, concat(
+          col("text"), lit(" zq"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" zq"), col("doc_id").cast("string"), lit("b"))).otherwise(lit(""))))
+          .as("text"))
+      TfIdf.rareTokenStats(withRare, "doc_id", "text", maxDf = 1L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // test-set decontamination: flag docs sharing >= 3 distinct 5-token
     // shingles (md5 space — oracle-portable) with a synthesized benchmark
     // set (every 50th doc); the hygiene pass that keeps eval sets out of
@@ -1051,6 +1076,49 @@ object SparkEntry {
            WHERE d.df * 1000000 <= n.n_docs * 900000
          ) WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    // 1-based dims via range(len); same floor-scale-sum-div arithmetic
+    "q54_group_centroids" ->
+      """SELECT label, i + 1 AS dim, count(*) AS n,
+                sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT))
+                  // count(*) AS mean_i4
+         FROM embeddings, unnest(range(len(embedding))) AS t(i)
+         WHERE embedding IS NOT NULL AND label IS NOT NULL
+         GROUP BY label, i + 1
+         ORDER BY label, dim""",
+
+    // same injected-unique-token construction; df counted over distinct
+    // (doc, token) pairs; integer // for the ppm
+    "q53_rare_tokens" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NOT NULL THEN
+                    text || ' zq' || CAST(doc_id AS VARCHAR) ||
+                    CASE WHEN doc_id % 7 = 0
+                         THEN ' zq' || CAST(doc_id AS VARCHAR) || 'b' ELSE '' END
+                  END AS text
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM docs WHERE text IS NOT NULL
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token
+         ), dfreq AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY token
+         ), st AS (
+           SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+                  sum(CASE WHEN d.df <= 1 THEN tf.tf ELSE 0 END) AS n_rare
+           FROM tf JOIN dfreq d USING (token) GROUP BY tf.doc_id
+         )
+         SELECT d.doc_id,
+                coalesce(st.n_tokens, 0) AS n_tokens,
+                coalesce(st.n_rare, 0) AS n_rare,
+                CASE WHEN coalesce(st.n_tokens, 0) > 0
+                     THEN coalesce(st.n_rare, 0) * 1000000 // st.n_tokens
+                     ELSE 0 END AS rare_ppm
+         FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN st USING (doc_id)
+         ORDER BY doc_id""",
 
     // same shingle space: md5 of the 5-token windows of the single-space
     // split (DuckDB 1-based inclusive slice == the native token_chunks

@@ -341,4 +341,26 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Per-group elementwise vector mean (cluster/class centroids) in
+    * integer 1e-4 space: one output row per (group, dim) with
+    * mean_i4 = sum(floor(v[dim] * 10000)) div n — the embedding-corpus
+    * stats primitive (label centroids, per-language embedding profiles,
+    * drift monitoring) with a CROSS-ENGINE-EXACT formulation: float ->
+    * double widening and the *10000 floor are IEEE-identical everywhere,
+    * and the long sum is order-independent, so the q54 DuckDB oracle
+    * matches hash-exact where a double mean never could (summation order).
+    *
+    * Scale shape: posexplode fans each vector into d rows but the
+    * partial aggregate collapses them to (group, dim) per partition
+    * BEFORE the exchange — the shuffle carries groups x dims x partitions
+    * compact long rows, never vectors. Ragged vectors simply contribute
+    * to fewer dims (per-dim n makes that visible). */
+  def groupCentroidsI4(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .groupBy(col("g"), (col("dim0") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 10000).cast("long")).as("sum_i4"))
+      .select(col("g"), col("dim"), col("n"), expr("sum_i4 div n").as("mean_i4"))
 }

@@ -95,4 +95,37 @@ object TfIdf {
       .join(tf.select(col("id"), md5(col("token")).as("tk"), col("token")), Seq("id", "tk"))
       .select(col("id"), col("rnk"), col("token"), col("tf"), col("df"))
   }
+
+  /** Per-document RARE-TOKEN ratio: the share (ppm) of a document's token
+    * occurrences whose corpus doc-frequency is <= `maxDf` — the
+    * OOV/typo/gibberish quality signal (the integer-formulated inverse of
+    * Gopher's common-words check: a clean document is mostly tokens the
+    * corpus has seen; a near-all-rare document is noise, boilerplate hash
+    * soup, or another language).
+    *
+    * Output: (id, n_tokens, n_rare, rare_ppm) — n_tokens counts token
+    * OCCURRENCES (not distinct), rare_ppm = n_rare * 1e6 div n_tokens
+    * (pure integer, cross-engine exact), null-text docs report (0, 0, 0).
+    *
+    * Fully compact plan: the map-only `token_tf` pass drops strings
+    * before ANY exchange and the output carries no strings at all — every
+    * shuffle in this operator moves (md5, long) rows. */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+                     maxDf: Long = 1L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val tfc = termFrequencies(df, idCol, textCol)
+      .select(col("id"), md5(col("token")).as("tk"), col("tf"))
+    val dfreq = tfc.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val stats = tfc.join(dfreq, Seq("tk"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("df") <= maxDf, col("tf")).otherwise(0L)).as("n_rare"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_tokens") > 0,
+          expr("n_rare * 1000000 div n_tokens")).otherwise(lit(0L)).as("rare_ppm"))
+  }
 }

@@ -138,6 +138,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfAutoNlist(1L << 40).toLong * 1024 <= Similarity.MaxCentroidCells)
   }
 
+  test("groupCentroidsI4: exact integer means, ragged vectors visible via per-dim n") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0f, -0.5f)),
+      (1, Seq(2.0f, 0.5f, 9.0f)),   // ragged: dim 3 has n=1
+      (2, Seq(0.00015f)),           // floor(1.5) = 1 in i4 space
+      (2, null.asInstanceOf[Seq[Float]])).toDF("label", "embedding")
+    val out = Similarity.groupCentroidsI4(df, "label", "embedding")
+      .orderBy("g", "dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // label 1 dim 1: (10000 + 20000) div 2 = 15000; dim 2: (-5000 + 5000) div 2 = 0
+    // (floor(-0.5*1e4) = -5000 exactly); dim 3: 90000 div 1
+    assert(out == Seq(
+      (1, 1L, 2L, 15000L), (1, 2L, 2L, 0L), (1, 3L, 1L, 90000L),
+      (2, 1L, 1L, 1L)))
+  }
+
+  test("groupCentroidsI4 is partitioning-independent on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(parts: Int) =
+      Similarity.groupCentroidsI4(emb.repartition(parts), "label", "embedding")
+        .orderBy("g", "dim").collect().map(_.toString).toSeq
+    assert(run(2) == run(13))
+  }
+
   test("cosine of a vector with itself is ~1 and symmetric in arguments") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")

@@ -91,6 +91,30 @@ class TfIdfSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("rareTokenStats: occurrence-weighted rare share, null docs anchored at 0") {
+    val df = Seq(
+      (1L, "common common weird1"),     // 3 tokens, 1 rare -> 333333 ppm
+      (2L, "common weird2 weird2"),     // weird2 df=1 but tf=2 -> 2 rare occurrences
+      (3L, "common"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TfIdf.rareTokenStats(df, "doc_id", "text", maxDf = 1L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 3L, 2L, 666666L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("rareTokenStats is partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) =
+      TfIdf.rareTokenStats(docs.repartition(parts), "doc_id", "text", maxDf = 30L)
+        .orderBy("id").collect().map(_.toString).toSeq
+    assert(run(2) == run(13))
+  }
+
   test("materialize + reliableCheckpoint path is row-identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plain = TfIdf.distinctiveTerms(docs, "doc_id", "text", k = 2)
