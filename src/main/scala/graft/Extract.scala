@@ -90,17 +90,27 @@ object Extract {
     val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
 
     val pending0 = Resume.pending(input, docsTable)
-    // one input scan answers the pending count, batch identity, AND the
-    // url-uniqueness check the once-per-url commit contract needs (the
-    // distinct count shuffles urls only, never payloads)
+    // one input scan answers the pending count, batch identity, the
+    // url-uniqueness check the once-per-url commit contract needs, AND
+    // the null-url count (the distinct count shuffles urls only, never
+    // payloads). Null urls have no identity in a url-keyed pipeline —
+    // they can never resume-match (left_anti on null keeps them pending
+    // forever = re-extracted every run) — so they are dropped LOUDLY, and
+    // all duplicate/"nothing to do" accounting uses non-null counts.
     val pstat = pending0.agg(count(lit(1)), min(col("url")), max(col("url")),
-      countDistinct(col("url"))).head()
+      countDistinct(col("url")), count(col("url"))).head()
     val nRaw = pstat.getLong(0)
+    val nNonNull = if (nRaw == 0) 0L else pstat.getLong(4)
+    val nNull = nRaw - nNonNull
     val nPending = if (nRaw == 0) 0L else pstat.getLong(3)
+    if (nNull > 0)
+      println(s"""{"job":"graft-extract","warn":"input has $nNull null-url rows; dropped (urls are the pipeline key)"}""")
     if (nPending == 0) {
       println(s"""{"job":"graft-extract","pending":0,"committed":${docsTable.committedBatches.size},"note":"nothing to do: all input urls already committed"}""")
       return
     }
+    val pendingNonNull =
+      if (nNull == 0) pending0 else pending0.where(col("url").isNotNull)
     // duplicate urls in the input would commit (and extract) a document
     // once per copy — and with --password-column the pending×raw join
     // would square that. Dedup DETERMINISTICALLY (latest crawl wins; md5
@@ -108,12 +118,12 @@ object Extract {
     // when dups exist, so the clean path pays nothing beyond the distinct
     // count above
     val pending =
-      if (nPending == nRaw) pending0
+      if (nPending == nNonNull) pendingNonNull
       else {
-        println(s"""{"job":"graft-extract","warn":"input has ${nRaw - nPending} duplicate-url rows; keeping latest warc_ts per url"}""")
+        println(s"""{"job":"graft-extract","warn":"input has ${nNonNull - nPending} duplicate-url rows; keeping latest warc_ts per url"}""")
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
           .orderBy(col("warc_ts").desc, md5(col("html")).desc, md5(col("text")).desc, col("lang").desc)
-        pending0.toDF().withColumn("__rn", row_number().over(w))
+        pendingNonNull.toDF().withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn").as[CrawlRow]
       }
 
@@ -138,9 +148,18 @@ object Extract {
         // join against a DEDUPLICATED url->password map: if the input
         // parquet carries duplicate urls, a plain join would fan each
         // pending row out once per copy and extract/commit documents
-        // multiple times, breaking the once-per-url batch contract
+        // multiple times, breaking the once-per-url batch contract. The
+        // winning password is picked by the SAME (warc_ts, md5 tiebreak)
+        // ordering as the row dedup above — the kept row's own password,
+        // deterministically, never a discarded copy's (a null winner
+        // falls back to the corpus default downstream, as a null column
+        // value always does)
         val pwMap = raw.groupBy(col("url"))
-          .agg(first(col(a.passwordColumn), ignoreNulls = true).as("__pw"))
+          .agg(max_by(col(a.passwordColumn),
+            struct(col("warc_ts"), md5(col("html")), md5(col("text")), col("lang"),
+              // last tiebreak: copies identical in every row field but the
+              // password still resolve deterministically (non-null wins)
+              col(a.passwordColumn))).as("__pw"))
         val salted = ExtractPipeline.saltedRepartitionByUrl(pending, parts)
           .toDF().join(pwMap, Seq("url"), "left")
         ExtractPipeline.extractDocsWithPasswords(

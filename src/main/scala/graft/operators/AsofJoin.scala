@@ -143,6 +143,9 @@ object AsofJoin {
                 leftTs: String, rightTs: String,
                 rightCols: Seq[String]): String = {
     def q(c: String) = s"`$c`"
+    // table names may be catalog-qualified (db.table): quote each part,
+    // or the emitted FROM clause becomes one dotted identifier
+    def qt(t: String) = t.split('.').map(p => s"`$p`").mkString(".")
     val left = spark.table(leftTable)
     val right = spark.table(rightTable)
     require(rightCols.nonEmpty, "asofJoin needs at least one right value column")
@@ -162,11 +165,11 @@ object AsofJoin {
     s"""WITH __u AS (
        |  SELECT $keyList, ${q(leftTs)} AS __ts, 1 AS __side,
        |         $lStruct AS __lval, CAST(NULL AS ${rType.sql}) AS __rval
-       |  FROM ${q(leftTable)}
+       |  FROM ${qt(leftTable)}
        |  UNION ALL
        |  SELECT $keyList, ${q(rightTs)} AS __ts, 0 AS __side,
        |         CAST(NULL AS ${lType.sql}) AS __lval, $rStruct AS __rval
-       |  FROM ${q(rightTable)} WHERE $rNotNull
+       |  FROM ${qt(rightTable)} WHERE $rNotNull
        |), __c AS (
        |  SELECT *, last_value(__rval, true) OVER (
        |    PARTITION BY $keyList ORDER BY __ts ASC, __side ASC, __rval ASC

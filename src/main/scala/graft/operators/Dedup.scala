@@ -89,6 +89,21 @@ object Dedup {
     * names must be unique per query) — shared by the other operators. */
   private[operators] def nextMetricSeq(): Int = blockMetricSeq.incrementAndGet()
 
+  /** One row per DISTINCT id of `df`, raise_error'ing loudly (naming the
+    * id and operator) when any id appears more than once — the shared
+    * anchor for per-document operators whose outputs would otherwise
+    * silently merge duplicate-id copies (the stripBoilerplate guard
+    * pattern, factored for TfIdf/Decontaminate). The grouped count rides
+    * the id shuffle a distinct() would have taken anyway. */
+  private[operators] def checkedIdAnchor(df: DataFrame, idCol: String, op: String): DataFrame =
+    df.select(col(idCol).as("id")).groupBy(col("id"))
+      .agg(count(lit(1)).as("__copies"))
+      .where(when(col("__copies") === 1, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$op: duplicate input id (ids must be unique): "),
+          col("id").cast("string"))).cast("boolean")))
+      .select(col("id"))
+
   /** Blocking-key frequency handling shared by every pair miner, as a
     * split: blocks (grouped by `keys`) with at most `maxBlock` member rows
     * go through the normal all-pairs self-join; OVER-popular blocks degrade

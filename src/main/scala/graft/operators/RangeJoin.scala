@@ -61,6 +61,8 @@ object RangeJoin {
                 bucketSeconds: Long = 86400L): String = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     def q(c: String) = s"`$c`"
+    // table names may be catalog-qualified (db.table): quote each part
+    def qt(t: String) = t.split('.').map(p => s"`$p`").mkString(".")
     val points = spark.table(pointsTable)
     val intervals = spark.table(intervalsTable)
     val collide = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet
@@ -75,10 +77,10 @@ object RangeJoin {
        |  SELECT *, explode(sequence(
        |      CAST(floor(unix_timestamp(${q(startTs)}) / $bucketSeconds) AS BIGINT),
        |      CAST(floor(unix_timestamp(${q(endTs)}) / $bucketSeconds) AS BIGINT))) AS __bucket
-       |  FROM ${q(intervalsTable)} WHERE ${q(endTs)} >= ${q(startTs)}
+       |  FROM ${qt(intervalsTable)} WHERE ${q(endTs)} >= ${q(startTs)}
        |), __pt AS (
        |  SELECT *, CAST(floor(unix_timestamp(${q(ptTs)}) / $bucketSeconds) AS BIGINT) AS __bucket
-       |  FROM ${q(pointsTable)}
+       |  FROM ${qt(pointsTable)}
        |)
        |SELECT $outCols
        |FROM __pt JOIN __iv USING ($keyList, __bucket)

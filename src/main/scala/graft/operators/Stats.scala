@@ -64,18 +64,36 @@ object Stats {
       .where(vCast.isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g"), vq.as("v"))
       .agg(count(lit(1)).as("c"))
+    // ---- the distinct-value cap, enforced BEFORE the per-group window
+    // ever materializes a hot partition: the per-group distinct count is
+    // a distributed hash aggregate (partial-combined, no hot task), the
+    // over-cap group list is broadcast (normally EMPTY — the splitBlocks
+    // pattern), and the map-side filter below raise_errors on the first
+    // row of an offending group, so a near-continuous column fails loudly
+    // in the scan stage instead of serializing into one window sort.
+    // (The observed max_distinct_values_per_group metric rides the FINAL
+    // aggregate instead of this frame: a CollectMetrics node on the
+    // broadcast build side never reaches queryExecution.observedMetrics.)
+    val ndv = hist.groupBy(col("g")).agg(count(lit(1)).as("__ndv"))
+    val overCap = ndv.where(col("__ndv") > lit(maxDistinctValuesPerGroup))
+    val checked = hist
+      .join(broadcast(overCap), Seq("g"), "left")
+      .where(when(col("__ndv").isNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit("exactQuantiles: group "), col("g").cast("string"),
+          lit(" has "), col("__ndv").cast("string"),
+          lit(s" distinct values (cap $maxDistinctValuesPerGroup); " +
+            "pass valueResolution to quantize a near-continuous column")))
+          .cast("boolean")))
+      .drop("__ndv")
     // distinct v per (g, v) group => ROWS and RANGE frames agree; rows
     // keeps the Spark side aligned with the oracle's default range frame
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wG = Window.partitionBy(col("g"))
-    val cum = hist
+    val cum = checked
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wG))
-      // rides the same per-group window shuffle — no extra pass
-      .withColumn("ndv", count(lit(1)).over(wG))
-      .observe(s"exact_quantiles_${Dedup.nextMetricSeq()}",
-        max(col("ndv")).as("max_distinct_values_per_group"))
     // percent names for round percents, basis-point names (suffix bp)
     // otherwise — the two scales must not collide (p50 vs 0.005)
     def pName(p: Double): String = {
@@ -89,17 +107,13 @@ object Stats {
     val picks: Seq[Column] = ps.zip(names).map { case (p, name) =>
       min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(name)
     }
+    // cum has one row per (g, v), so count(*) here is the group's
+    // distinct-value count again — the metric rides the main query (the
+    // internal __ndv column is dropped after the CollectMetrics node)
     cum.groupBy(col("g"))
-      .agg(
-        // the guard folds into the existing aggregate: one row per (g, v)
-        // means count(*) here IS the group's distinct-value count
-        when(count(lit(1)) > lit(maxDistinctValuesPerGroup),
-          raise_error(concat(
-            lit("exactQuantiles: group "), col("g").cast("string"),
-            lit(" has "), count(lit(1)).cast("string"),
-            lit(s" distinct values (cap $maxDistinctValuesPerGroup); " +
-              "pass valueResolution to quantize a near-continuous column"))))
-          .otherwise(max(col("n"))).as("n"),
-        picks: _*)
+      .agg(max(col("n")).as("n"), (picks :+ count(lit(1)).as("__ndv")): _*)
+      .observe(s"exact_quantiles_${Dedup.nextMetricSeq()}",
+        max(col("__ndv")).as("max_distinct_values_per_group"))
+      .drop("__ndv")
   }
 }

@@ -72,8 +72,11 @@ object TfIdf {
     require(maxDfPpm > 0 && maxDfPpm <= 1000000L,
       s"maxDfPpm must lie in (0, 1000000], got $maxDfPpm")
     val tf = termFrequencies(df, idCol, textCol)
-    // compact space: strings dropped before ANY exchange
+    // compact space: strings dropped before ANY exchange. The semi join
+    // against the checked anchor makes duplicate ids loud (copies would
+    // inflate df counts and interleave in the per-doc ranking)
     val tfc0 = tf.select(col("id"), md5(col("token")).as("tk"), col("tf"))
+      .join(Dedup.checkedIdAnchor(df, idCol, "TfIdf.distinctiveTerms"), Seq("id"), "left_semi")
     val tfc = if (materialize) Dedup.checkpointDf(tfc0, reliableCheckpoint) else tfc0
     // tf has one row per distinct (doc, token) => count(*) IS the doc freq
     val dfreq = tfc.groupBy(col("tk")).agg(count(lit(1)).as("df"))
@@ -120,7 +123,8 @@ object TfIdf {
       .groupBy(col("id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(when(col("df") <= maxDf, col("tf")).otherwise(0L)).as("n_rare"))
-    df.select(col(idCol).as("id")).distinct()
+    // loud on duplicate ids (copies would silently merge token streams)
+    Dedup.checkedIdAnchor(df, idCol, "TfIdf.rareTokenStats")
       .join(stats, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -93,6 +93,17 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally prevDir.foreach(sc.setCheckpointDir)
   }
 
+  test("SQL recipe handles catalog-qualified table names (global_temp.x)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:05"))).toDF("event_id", "user_id", "t")
+    val right = Seq((10L, ts("2024-01-01 00:00:03"), 7L)).toDF("user_id", "rt", "v")
+    left.createOrReplaceGlobalTempView("asof_q_left")
+    right.createOrReplaceGlobalTempView("asof_q_right")
+    val sql = AsofJoin.sqlRecipe(spark, "global_temp.asof_q_left", "global_temp.asof_q_right",
+      Seq("user_id"), "t", "rt", Seq("v"))
+    val out = spark.sql(sql).collect()
+    assert(out.length == 1 && out.head.getLong(3) == 7L)
+  }
+
   test("SQL recipe reproduces the q37 asof join through spark.sql") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val purchases = ev.where(col("event_type") === "purchase")

@@ -62,6 +62,17 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.exists(!_._4), "some corpus docs must be clean or the fixture is vacuous")
   }
 
+  test("duplicate corpus ids raise_error instead of silently merging shingle sets") {
+    val corpus = Seq((1L, "a b c d e"), (1L, "x y z w v"), (2L, "a b c")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Decontaminate.flag(corpus, bench, "doc_id", "text", w = 3, minOverlap = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate input id")))
+  }
+
   test("partitioning-independent") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(parts: Int) =

@@ -135,6 +135,52 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs(1).getAs[String]("failure") == "incorrect password")
   }
 
+  test("duplicate urls with different passwords: the LATEST row's password wins, deterministically") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pwlatest_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pwlatest_out").toString
+    val enc = graft.pdf.Fixtures.bytes("encrypted.pdf")
+    // older copy carries a WRONG password; the newer copy the correct one.
+    // The dedup keeps the newer row AND the password pick must follow the
+    // same ordering — decryption succeeds iff they agree
+    Seq(
+      ("test://pwl/encrypted.pdf", new java.sql.Timestamp(1000L), enc, "", "en", "wrong"),
+      ("test://pwl/encrypted.pdf", new java.sql.Timestamp(2000L), enc, "", "en", ""))
+      .toDF("url", "warc_ts", "html", "text", "lang", "pw")
+      .write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--password-column", "pw", "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents").read(spark).collect()
+    assert(docs.length == 1)
+    assert(docs(0).getAs[Boolean]("ok"),
+      s"latest row's password must decrypt: ${docs(0).getAs[String]("failure")}")
+  }
+
+  test("null-url rows are dropped loudly, not processed or resumed forever") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_nullurl_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nullurl_out").toString
+    val ok = graft.pdf.Fixtures.bytes("xref_repair.pdf")
+    val ts = new java.sql.Timestamp(0L)
+    Seq(
+      (null.asInstanceOf[String], ts, ok, "", "en"),
+      ("test://nu/a.pdf", ts, ok, "", "en"),
+      ("test://nu/b.pdf", ts, ok, "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents").read(spark).collect()
+    assert(docs.length == 2, "only the two url-keyed rows commit")
+    assert(docs.forall(_.getAs[String]("url") != null))
+    // all-null input: a loud no-op, never a crash or a phantom batch
+    val inDir2 = java.nio.file.Files.createTempDirectory("graft_nullurl2_in").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_nullurl2_out").toString
+    Seq((null.asInstanceOf[String], ts, ok, "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(inDir2)
+    Extract.main(Array(inDir2, outDir2, "--partitions", "2"))
+    assert(new graft.sources.ParquetManifestTable(s"$outDir2/documents").committedBatches.isEmpty)
+  }
+
   test("--password-column with duplicate input urls still commits once per url") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_pwdup_in").toString

@@ -282,6 +282,14 @@ class PlanSpec extends AnyFunSuite {
         }
         assert(aggsBelow.nonEmpty, "window over raw rows:\n" + w.toString.take(1000))
       }
+      // the distinct-value cap guard (raise_error filter) must sit BELOW
+      // every window — a hot group fails loudly before its window sort
+      // materializes, not after
+      import org.apache.spark.sql.execution.FilterExec
+      val guardBelow = windows.forall(_.collect {
+        case f: FilterExec if f.condition.toString.contains("raise_error") => f
+      }.nonEmpty)
+      assert(guardBelow, "cap guard not below the window:\n" + plan.toString.take(2000))
     }
   }
 

@@ -183,8 +183,13 @@ class FuzzSpec extends AnyFunSuite {
 
   test("cross-document password mutations: mismatched V/R/O/U shapes fail per-document, fast") {
     val enc = Fixtures.bytes("encrypted.pdf")
-    for (s <- 0 until 200) {
-      val m = FuzzMutations.mutate(enc, 13L + 14L * s) // kind-13 lane plus neighbors
+    // the mutator scrambles the seed (splitmix64) before the mod-14 kind
+    // pick, so "seed ≡ 13 (mod 14)" does NOT select kind 13 — scan seeds
+    // and keep exactly those that land in the cross-document lane
+    val kind13Seeds = Iterator.from(0).map(_.toLong)
+      .filter(s => math.floorMod(splitmix64(s), 14L) == 13L).take(200).toSeq
+    for ((seed, s) <- kind13Seeds.zipWithIndex) {
+      val m = FuzzMutations.mutate(enc, seed)
       for (pw <- Seq("", "wrong", "a" * 127)) {
         val t0 = System.nanoTime()
         val r = PdfExtract.parse(m, pw)
