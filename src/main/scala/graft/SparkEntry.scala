@@ -417,6 +417,21 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // within-doc duplicate-line REMOVAL (the Gopher repetition-removal
+    // counterpart to q42's signals): the corpus has no newlines, so each
+    // token becomes a line (space -> \n) and the native one-pass
+    // dedup_lines keeps first occurrences; output metrics + md5 of the
+    // deduped text (map-only — zero shuffles)
+    "q55_dedup_lines" -> ((s, dir) => {
+      val lines = translate(col("text"), " ", "\n")
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(lines, "\n")).cast("long").as("n_lines"),
+          size(split(graft.functions.SketchFunctions.dedupLines(lines), "\n")).cast("long").as("n_kept"),
+          md5(graft.functions.SketchFunctions.dedupLines(lines)).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-label embedding centroids in integer 1e-4 space: elementwise
     // mean as (label, dim, n, mean_i4) rows — float->double widening +
     // floor*1e4 + long sums are order-independent and IEEE-identical in
@@ -1076,6 +1091,25 @@ object SparkEntry {
            WHERE d.df * 1000000 <= n.n_docs * 900000
          ) WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    // first-occurrence order via min-ordinal grouping; chr(10) join
+    // reproduces the native expression's output byte-for-byte
+    "q55_dedup_lines" ->
+      """WITH lined AS (
+           SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+           FROM documents WHERE text IS NOT NULL
+         ), firsts AS (
+           SELECT doc_id, ls[i + 1] AS line, min(i) AS first_i
+           FROM lined, unnest(range(len(ls))) AS t(i)
+           GROUP BY doc_id, ls[i + 1]
+         ), joined AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY first_i) AS clean,
+                  count(*) AS n_kept
+           FROM firsts GROUP BY doc_id
+         )
+         SELECT l.doc_id, len(l.ls) AS n_lines, j.n_kept, md5(j.clean) AS clean_md5
+         FROM lined l JOIN joined j USING (doc_id)
+         ORDER BY doc_id""",
 
     // 1-based dims via range(len); same floor-scale-sum-div arithmetic
     "q54_group_centroids" ->

@@ -127,6 +127,7 @@ object GraftFunctionSet {
       TokenChunks(a(0), intLit("token_chunks", a(1)), intLit("token_chunks", a(2)))
     }),
     "token_tf" -> (args => TokenTf(arity("token_tf", 1)(args).head)),
+    "dedup_lines" -> (args => DedupLines(arity("dedup_lines", 1)(args).head)),
     // aggregates: the analyzer wraps a bare AggregateFunction builder result
     "misra_gries" -> (args => {
       val a = arity("misra_gries", 2)(args)

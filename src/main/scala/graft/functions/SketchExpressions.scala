@@ -243,6 +243,42 @@ object SketchKernel {
     new GenericArrayData(rows)
   }
 
+  /** Within-document duplicate-LINE removal in one pass: split on '\n',
+    * keep the FIRST occurrence of each exact line (empty lines dedup
+    * too), re-join with '\n' — the Gopher-style repetition REMOVAL
+    * counterpart to WebCuration.repetitionSignals' detection. Map-only:
+    * a repetition-heavy document shrinks before it ever costs a byte of
+    * shuffle. First-occurrence order makes the output deterministic from
+    * the text alone. */
+  def dedupLines(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    val bytes = s.getBytes
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        seen.add(UTF8String.fromBytes(bytes, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    val it = seen.iterator()
+    var total = 0
+    while (it.hasNext) total += it.next().numBytes + 1
+    val out = new Array[Byte](math.max(total - 1, 0))
+    val it2 = seen.iterator()
+    var pos = 0
+    while (it2.hasNext) {
+      val line = it2.next()
+      if (pos > 0) { out(pos) = '\n'; pos += 1 }
+      val lb = line.getBytes
+      System.arraycopy(lb, 0, out, pos, lb.length)
+      pos += lb.length
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** The composite [0,1] quality score in ONE byte pass — bit-identical to
     * TextAnalysis.qualityScoreDeclarative (the q15/q38/q50 oracle formula):
     * every intermediate double op replays the declarative expression's
@@ -573,6 +609,19 @@ case class TokenChunks(child: Expression, size: Int, stride: Int) extends UnaryE
   override def prettyName: String = "token_chunks"
 }
 
+case class DedupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"dedup_lines requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.dedupLines(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.dedupLines($c)")
+  override protected def withNewChildInternal(newChild: Expression): DedupLines = copy(child = newChild)
+  override def prettyName: String = "dedup_lines"
+}
+
 case class TokenTf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -659,4 +708,6 @@ object SketchFunctions {
     ColumnBridge.column(BpeEstimate(ColumnBridge.expression(c)))
   def tokenTf(c: Column): Column =
     ColumnBridge.column(TokenTf(ColumnBridge.expression(c)))
+  def dedupLines(c: Column): Column =
+    ColumnBridge.column(DedupLines(ColumnBridge.expression(c)))
 }

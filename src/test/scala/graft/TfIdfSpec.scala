@@ -129,6 +129,32 @@ class TfIdfSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("dedup_lines: first occurrence kept, order stable, empty lines deduped, SQL parity") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    def run(s: String): String =
+      Seq(s).toDF("t").select(SketchFunctions.dedupLines(col("t"))).head().getString(0)
+    assert(run("a\nb\na\nc\nb") == "a\nb\nc")
+    assert(run("x") == "x")
+    assert(run("a\n\nb\n\na") == "a\n\nb")   // empty lines dedup too
+    assert(run("") == "")
+    // brute-force equality on the documents table (token-per-line form)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull).limit(100)
+    val got = docs.select(col("doc_id"),
+        SketchFunctions.dedupLines(translate(col("text"), " ", "\n")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expected = r.getString(1).split(" ", -1).distinct.mkString("\n")
+      assert(got(r.getLong(0)) == expected, s"doc ${r.getLong(0)}")
+    }
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT dedup_lines('a\nb\na')").head().getString(0)
+    assert(viaSql == "a\nb")
+  }
+
   test("materialize + reliableCheckpoint path is row-identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plain = TfIdf.distinctiveTerms(docs, "doc_id", "text", k = 2)
