@@ -378,6 +378,16 @@ object SparkEntry {
       Curate.curate(docsWithDups(s, dir))
         .orderBy(col("detected_lang"), col("doc_id"))),
 
+    // the widened end-to-end pipeline: q38's five stages PLUS the
+    // decontamination gate (drop docs overlapping a benchmark set by >= 3
+    // distinct 5-token shingles) between dedup and packing — the whole
+    // composition against ONE DuckDB oracle
+    "q56_curate_decon" -> ((s, dir) =>
+      Curate.curate(docsWithDups(s, dir),
+          decontaminateAgainst = t(s, dir, "documents")
+            .where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")))
+        .orderBy(col("detected_lang"), col("doc_id"))),
+
     "q30_html_extract" -> ((s, dir) =>
       ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 101, 42L)).toDF()
         .where(col("kind") === "html")
@@ -970,6 +980,87 @@ object SparkEntry {
            CAST(floor((SUM(n_tokens) OVER (PARTITION BY detected_lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512) AS BIGINT) AS pack_id
          FROM kept ORDER BY detected_lang, doc_id""",
+
+    // q38's oracle with the decontamination stage spliced between the
+    // CC-kept set and the packing window (q52's shingle construction)
+    "q56_curate_decon" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         a AS (
+           SELECT doc_id, text,
+             CASE
+               WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'de'
+               WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'es'
+               WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'fr'
+               WHEN s_ru = greatest(s_en, s_de, s_es, s_fr, s_ru) AND greatest(s_en, s_de, s_es, s_fr, s_ru) > 0 THEN 'ru'
+               ELSE 'und' END AS detected_lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(floor((
+               least(length(text) / 500.0, 1.0) * 0.4 +
+               least((CAST(len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3 +
+               (1.0 - least((CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT) AS q_i4
+           FROM (
+             SELECT doc_id, text,
+               (CASE WHEN concat(' ', lower(text), ' ') LIKE '% the %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% and %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% of %' THEN 1 ELSE 0 END) AS s_en,
+               (CASE WHEN concat(' ', lower(text), ' ') LIKE '% der %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% und %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% die %' THEN 1 ELSE 0 END) AS s_de,
+               (CASE WHEN concat(' ', lower(text), ' ') LIKE '% el %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% que %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% los %' THEN 1 ELSE 0 END) AS s_es,
+               (CASE WHEN concat(' ', lower(text), ' ') LIKE '% le %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% et %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr,
+               (CASE WHEN concat(' ', lower(text), ' ') LIKE '% и %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% не %' THEN 1 ELSE 0 END +
+                CASE WHEN concat(' ', lower(text), ' ') LIKE '% что %' THEN 1 ELSE 0 END) AS s_ru
+             FROM docs)),
+         g AS (SELECT * FROM a WHERE q_i4 >= 2000 AND detected_lang <> 'und'),
+         ke AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         u AS (SELECT g.* FROM g JOIN ke USING (doc_id)),
+         toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM u),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [text] END) AS s
+           FROM toks),
+         p AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+           WHERE len(x.s) * 10 >= len(y.s) * 9 AND len(y.s) * 10 >= len(x.s) * 9
+             AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         walk(id, r) AS (
+           SELECT doc_id, doc_id FROM u
+           UNION
+           SELECT walk.id, e.dst FROM walk JOIN e ON e.src = walk.r),
+         cl AS (SELECT id, MIN(r) AS cluster FROM walk GROUP BY id),
+         kept AS (SELECT u.* FROM u JOIN cl ON cl.id = u.doc_id AND cl.cluster = u.doc_id),
+         bt AS (SELECT string_split(text, ' ') AS ts
+                FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         bsh AS (SELECT DISTINCT md5(array_to_string(ts[i:i+4], ' ')) AS sh
+                 FROM bt, unnest(generate_series(1, len(ts) - 4)) AS t(i)),
+         kt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM kept),
+         ksh AS (SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS sh
+                 FROM kt, unnest(generate_series(1, len(ts) - 4)) AS t(i)),
+         cont AS (SELECT ksh.doc_id FROM ksh JOIN bsh USING (sh)
+                  GROUP BY ksh.doc_id HAVING count(*) >= 3),
+         fin AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+         SELECT doc_id, detected_lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY detected_lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY detected_lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512) AS BIGINT) AS pack_id
+         FROM fin ORDER BY detected_lang, doc_id""",
 
     // connected components as a recursive CTE over the same brute-force
     // jaccard pair set as q17 (min reachable id per node)

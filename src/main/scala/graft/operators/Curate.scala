@@ -34,7 +34,9 @@ object Curate {
              reliableCheckpoint: Boolean = false,
              starsCC: Boolean = false,
              stripBoilerplate: Boolean = false,
-             boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 30L): DataFrame = {
+             boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 30L,
+             decontaminateAgainst: DataFrame = null,
+             decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L): DataFrame = {
     // 0. optional cross-doc boilerplate line removal BEFORE the gates:
     // template lines inflate quality scores and glue unrelated pages into
     // near-dup clusters, so when enabled the downstream pipeline (scores,
@@ -101,8 +103,24 @@ object Curate {
     val clusters =
       if (starsCC) Dedup.connectedComponentsStars(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
       else Dedup.connectedComponents(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
-    val kept = uniq.join(
+    val kept0 = uniq.join(
       clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+
+    // 3b. optional test-set decontamination, AFTER dedup (fewer docs to
+    // shingle) and BEFORE packing (a removed doc must not occupy pack
+    // budget): docs sharing >= decontaminateMinOverlap distinct w-token
+    // shingles with the benchmark set are dropped. The benchmark frame
+    // must carry the same (idCol, textCol) columns.
+    val kept =
+      if (decontaminateAgainst == null) kept0
+      else {
+        val flags = Decontaminate.flag(
+          kept0.select(col("doc_id").as(idCol), col("text").as(textCol)),
+          decontaminateAgainst, idCol, textCol,
+          w = decontaminateW, minOverlap = decontaminateMinOverlap)
+        kept0.join(flags.where(!col("contaminated")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
 
     // 4. greedy token packing per language. `sharded = false` (default):
     // one cumulative window per language — oracle-portable exact greedy

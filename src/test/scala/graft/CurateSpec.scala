@@ -24,6 +24,35 @@ class CurateSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("decontamination stage: contaminated survivors drop and packing recomputes over the rest") {
+    val bench = docs.where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    val plain = Curate.curate(docs)
+    val decon = Curate.curate(docs, decontaminateAgainst = bench)
+    val plainIds = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val deconIds = decon.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the gate only removes, never adds
+    assert(deconIds.subsetOf(plainIds))
+    // exactly the survivors Decontaminate flags must be gone
+    val survivors = docs.join(plain.select("doc_id"), Seq("doc_id"), "left_semi")
+    val flagged = graft.operators.Decontaminate.flag(
+        survivors.select(col("doc_id"), col("text")), bench, "doc_id", "text",
+        w = 5, minOverlap = 3L)
+      .where(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "benchmark overlap must exist or the fixture is vacuous")
+    assert(deconIds == plainIds -- flagged)
+    // packing is recomputed over the FILTERED set: cum_tokens restarts
+    // cleanly (per-language monotone, first doc's cum == its own n_tokens)
+    decon.orderBy("detected_lang", "doc_id").collect()
+      .groupBy(_.getString(1)).foreach { case (_, rows) =>
+        def nTok(r: org.apache.spark.sql.Row) = r.getAs[Number]("n_tokens").longValue()
+        assert(rows.head.getLong(3) == nTok(rows.head))
+        rows.sliding(2).foreach {
+          case Array(a, b) => assert(b.getLong(3) == a.getLong(3) + nTok(b))
+          case _ =>
+        }
+      }
+  }
+
   test("packing is per-language monotone with budget-sized pack ids") {
     val out = Curate.curate(docs, packBudget = 256)
       .orderBy("detected_lang", "doc_id").collect()
