@@ -13,7 +13,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   <input: crawl parquet dir | synth:N> <output root> \
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
-  *   [--password-column COL]
+  *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -35,7 +35,8 @@ object Extract {
       includeRaw: Boolean = false, includeEmbedded: Boolean = false,
       objectStreams: Boolean = false, sinks: Boolean = false,
       curate: Boolean = false, partitions: Int = 0,
-      passwordColumn: String = null, stripBoilerplate: Boolean = false)
+      passwordColumn: String = null, stripBoilerplate: Boolean = false,
+      decontaminate: String = null)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -56,6 +57,7 @@ object Extract {
         case "--sinks"            => a = a.copy(sinks = true); i += 1
         case "--curate"           => a = a.copy(curate = true); i += 1
         case "--strip-boilerplate" => a = a.copy(stripBoilerplate = true); i += 1
+        case "--decontaminate"    => a = a.copy(decontaminate = value("--decontaminate")); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -67,6 +69,8 @@ object Extract {
       "usage: graft.Extract <input parquet dir | synth:N> <output root> [flags]")
     require(!a.stripBoilerplate || a.curate,
       "--strip-boilerplate only affects the curated snapshot: pass --curate too")
+    require(a.decontaminate == null || a.curate,
+      "--decontaminate only affects the curated snapshot: pass --curate too")
     a
   }
 
@@ -191,11 +195,20 @@ object Extract {
       // quality gate -> langid -> exact dedup -> near-dup clusters -> token
       // packing. A REPLACE-style snapshot per run (read with readLatest).
       val committed = docsTable.read(spark)
+      // --decontaminate <parquet dir>: a benchmark/eval table with a
+      // `text` column; curated survivors overlapping it by >= 3 distinct
+      // 5-token shingles are dropped (ids are synthesized — the benchmark
+      // side of the overlap only needs its shingle set)
+      val benchmark =
+        if (a.decontaminate == null) null
+        else spark.read.parquet(a.decontaminate)
+          .select(xxhash64(col("text")).as("doc_id"), col("text"))
       val curated = graft.operators.Curate.curate(
         committed.select(
           xxhash64(col("url")).as("doc_id"),
           decode(col("contents"), "UTF-8").as("text")),
-        stripBoilerplate = a.stripBoilerplate)
+        stripBoilerplate = a.stripBoilerplate,
+        decontaminateAgainst = benchmark)
       new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round
       // frontier size + rounds-to-convergence) — the monitoring signal a

@@ -135,6 +135,37 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs(1).getAs[String]("failure") == "incorrect password")
   }
 
+  test("--decontaminate drops curated docs overlapping the benchmark parquet") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_decon_in").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("graft_decon_bench").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
+    def article(i: Int, topic: String): graft.sources.CrawlRow = {
+      val words = (1 to 40).flatMap(k => Seq("the", s"$topic$k", "and", "of", s"${topic}item$k"))
+      val para = "<p>" + words.mkString(" ") + ".</p>"
+      graft.sources.CrawlRow(f"test://dc/$i%03d/article.html", new java.sql.Timestamp(0L),
+        s"<html><head><title>t</title></head><body><article>$para</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    Seq(article(1, "alpha"), article(2, "beta"), article(3, "gamma")).toDS()
+      .toDF().write.mode("overwrite").parquet(inDir)
+    // benchmark = article 2's extracted text body (the eval set a crawl
+    // would leak): its shingles match doc 2's curated text
+    val betaWords = (1 to 40).flatMap(k => Seq("the", s"beta$k", "and", "of", s"betaitem$k"))
+    Seq(betaWords.mkString(" ") + ".").toDF("text")
+      .write.mode("overwrite").parquet(benchDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "2", "--curate",
+      "--decontaminate", benchDir))
+    val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated")
+      .readLatest(spark)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    def urlId(i: Int): Long = Seq(f"test://dc/$i%03d/article.html").toDF("u")
+      .select(xxhash64(col("u"))).head().getLong(0)
+    assert(ids.contains(urlId(1)) && ids.contains(urlId(3)),
+      "clean articles must survive")
+    assert(!ids.contains(urlId(2)), "the benchmark-leaked article must be dropped")
+  }
+
   test("duplicate urls with different passwords: the LATEST row's password wins, deterministically") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_pwlatest_in").toString
