@@ -435,10 +435,12 @@ object SparkEntry {
     "q55_dedup_lines" -> ((s, dir) => {
       val lines = translate(col("text"), " ", "\n")
       t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), lines.as("ls"),
+          graft.functions.SketchFunctions.dedupLines(lines).as("dl"))
         .select(col("doc_id"),
-          size(split(lines, "\n")).cast("long").as("n_lines"),
-          size(split(graft.functions.SketchFunctions.dedupLines(lines), "\n")).cast("long").as("n_kept"),
-          md5(graft.functions.SketchFunctions.dedupLines(lines)).as("clean_md5"))
+          size(split(col("ls"), "\n")).cast("long").as("n_lines"),
+          size(split(col("dl"), "\n")).cast("long").as("n_kept"),
+          md5(col("dl")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
 

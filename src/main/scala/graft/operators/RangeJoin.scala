@@ -60,9 +60,7 @@ object RangeJoin {
                 ptTs: String, startTs: String, endTs: String,
                 bucketSeconds: Long = 86400L): String = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
-    def q(c: String) = s"`$c`"
-    // table names may be catalog-qualified (db.table): quote each part
-    def qt(t: String) = t.split('.').map(p => s"`$p`").mkString(".")
+    import AsofJoin.{qCol => q, qTable => qt}
     val points = spark.table(pointsTable)
     val intervals = spark.table(intervalsTable)
     val collide = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet

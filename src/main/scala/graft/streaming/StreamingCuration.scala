@@ -102,14 +102,10 @@ object StreamingCuration {
     // its own first attempt and double-count)
     val prevBatches = countsT.committedBatches.filter(_ < batchId)
     val old =
-      if (prevBatches.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("line_md5",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("n_docs",
-              org.apache.spark.sql.types.LongType))))
-      else countsT.readBatch(spark, prevBatches.max)
+      if (prevBatches.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("line_md5", "n_docs")
+      } else countsT.readBatch(spark, prevBatches.max)
     val countsB = linesB.groupBy(col("line_md5"))
       .agg(countDistinct(col("id")).as("n_b"))
     val merged = old.join(countsB, Seq("line_md5"), "full_outer")

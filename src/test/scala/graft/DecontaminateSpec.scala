@@ -68,9 +68,7 @@ class DecontaminateSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Decontaminate.flag(corpus, bench, "doc_id", "text", w = 3, minOverlap = 1L).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("duplicate input id")))
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
   test("partitioning-independent") {

@@ -17,4 +17,10 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** All messages down a throwable's cause chain — Spark wraps executor
+    * raise_error failures several layers deep, so guard specs search the
+    * whole chain for the operator's message. */
+  def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causeMessages(x.getCause))
 }

@@ -50,9 +50,7 @@ class StatsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Stats.exactQuantiles(df, "g", "v", maxDistinctValuesPerGroup = 100L).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    val msg = messages(e).mkString("\n")
+    val msg = SparkTestBase.causeMessages(e).mkString("\n")
     assert(msg.contains("exactQuantiles") && msg.contains("hot") && msg.contains("500"))
   }
 

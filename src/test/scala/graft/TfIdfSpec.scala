@@ -109,16 +109,14 @@ class TfIdfSpec extends AnyFunSuite {
 
   test("duplicate ids raise_error in rareTokenStats and distinctiveTerms") {
     val dup = Seq((1L, "a b"), (1L, "c d"), (2L, "a b")).toDF("doc_id", "text")
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     val e1 = intercept[Exception] {
       TfIdf.rareTokenStats(dup, "doc_id", "text").collect()
     }
-    assert(messages(e1).exists(_.contains("duplicate input id")))
+    assert(SparkTestBase.causeMessages(e1).exists(_.contains("duplicate input id")))
     val e2 = intercept[Exception] {
       TfIdf.distinctiveTerms(dup, "doc_id", "text", k = 2).collect()
     }
-    assert(messages(e2).exists(_.contains("duplicate input id")))
+    assert(SparkTestBase.causeMessages(e2).exists(_.contains("duplicate input id")))
   }
 
   test("rareTokenStats is partitioning-independent") {

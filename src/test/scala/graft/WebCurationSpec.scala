@@ -62,9 +62,7 @@ class WebCurationSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       WebCuration.stripBoilerplate(df, "doc_id", "text", chunk = 2, minDocs = 2).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("duplicate input id")))
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
   test("pii counts and redaction") {
