@@ -22,14 +22,6 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
-  /** SQL identifier quoting shared by the two sqlRecipe generators:
-    * columns quote as one backticked part; table names may be
-    * catalog-qualified (db.table) and quote per dot-separated part, or
-    * the emitted FROM clause becomes one dotted identifier. */
-  private[operators] def qCol(c: String): String = s"`$c`"
-  private[operators] def qTable(t: String): String =
-    t.split('.').map(p => s"`$p`").mkString(".")
-
   private def packed(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
                      rightCols: Seq[String]): DataFrame = {
@@ -150,7 +142,7 @@ object AsofJoin {
                 leftTable: String, rightTable: String, keys: Seq[String],
                 leftTs: String, rightTs: String,
                 rightCols: Seq[String]): String = {
-    import AsofJoin.{qCol => q, qTable => qt}
+    import SqlIdent.{col => q, table => qt}
     val left = spark.table(leftTable)
     val right = spark.table(rightTable)
     require(rightCols.nonEmpty, "asofJoin needs at least one right value column")

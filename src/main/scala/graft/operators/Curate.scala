@@ -114,12 +114,18 @@ object Curate {
     val kept =
       if (decontaminateAgainst == null) kept0
       else {
-        val flags = Decontaminate.flag(
-          kept0.select(col("doc_id").as(idCol), col("text").as(textCol)),
-          decontaminateAgainst, idCol, textCol,
-          w = decontaminateW, minOverlap = decontaminateMinOverlap)
-        kept0.join(flags.where(!col("contaminated")).select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_semi")
+        // checkpoint the survivor set once: Decontaminate.flag consumes
+        // its corpus twice internally and the anti-join below a third
+        // time — without this, each pass re-executes the whole
+        // gates+dedup+CC lineage. Anti-join the (tiny, broadcastable)
+        // CONTAMINATED id set rather than semi-joining all clean ids.
+        val kb = Dedup.checkpointDf(kept0, reliableCheckpoint)
+        val contaminated = Decontaminate.flag(
+            kb.select(col("doc_id").as(idCol), col("text").as(textCol)),
+            decontaminateAgainst, idCol, textCol,
+            w = decontaminateW, minOverlap = decontaminateMinOverlap)
+          .where(col("contaminated")).select(col("id").as("doc_id"))
+        kb.join(contaminated, Seq("doc_id"), "left_anti")
       }
 
     // 4. greedy token packing per language. `sharded = false` (default):

@@ -60,7 +60,7 @@ object RangeJoin {
                 ptTs: String, startTs: String, endTs: String,
                 bucketSeconds: Long = 86400L): String = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
-    import AsofJoin.{qCol => q, qTable => qt}
+    import SqlIdent.{col => q, table => qt}
     val points = spark.table(pointsTable)
     val intervals = spark.table(intervalsTable)
     val collide = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet

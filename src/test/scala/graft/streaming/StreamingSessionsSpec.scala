@@ -49,7 +49,9 @@ class StreamingSessionsSpec extends AnyFunSuite {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       def count(): Long =
         try spark.read.parquet(outDir).where(col("user_id") >= 0).count()
-        catch { case _: Throwable => -1L }
+        // only the expected "no files committed yet" case reads as no
+        // data; a genuinely broken sink must surface, not spin the poll
+        catch { case _: org.apache.spark.sql.AnalysisException => -1L }
       while (System.nanoTime() < deadline && count() < expectRows) Thread.sleep(500)
       q.stop(); q.awaitTermination(30000)
     }
