@@ -136,6 +136,10 @@ object GraftFunctionSet {
     "hll_distinct" -> (args => {
       val a = arity("hll_distinct", 2)(args)
       HllDistinct(a(0), intLit("hll_distinct", a(1)))
+    }),
+    "approx_quantiles" -> (args => {
+      val a = arity("approx_quantiles", 2)(args)
+      ApproxQuantiles(a(0), intLit("approx_quantiles", a(1)))
     }))
 }
 

@@ -83,7 +83,8 @@ object Stats {
           lit("exactQuantiles: group "), col("g").cast("string"),
           lit(" has "), col("__ndv").cast("string"),
           lit(s" distinct values (cap $maxDistinctValuesPerGroup); " +
-            "pass valueResolution to quantize a near-continuous column")))
+            "pass valueResolution to quantize, or use the approx_quantiles " +
+            "sketch for an unbounded value space")))
           .cast("boolean")))
       .drop("__ndv")
     // distinct v per (g, v) group => ROWS and RANGE frames agree; rows
@@ -94,15 +95,9 @@ object Stats {
     val cum = checked
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wG))
-    // percent names for round percents, basis-point names (suffix bp)
-    // otherwise — the two scales must not collide (p50 vs 0.005)
-    def pName(p: Double): String = {
-      val b = (p * 100).round
-      // tolerance, not equality: 0.29 * 100 is 28.999999999999996 in
-      // doubles and must still name p29
-      if (math.abs(b.toDouble - p * 100) < 1e-9) s"p$b" else s"p${(p * 10000).round}bp"
-    }
-    val names = ps.map(pName)
+    // one shared formatter with the approx_quantiles sketch, so the exact
+    // and approximate operators name the same p identically
+    val names = ps.map(graft.functions.QuantileNames.pName)
     require(names.distinct.size == names.size, s"quantile names collide: $names")
     val picks: Seq[Column] = ps.zip(names).map { case (p, name) =>
       min(when(col("cum") >= ceil(col("n") * lit(p)), col("v"))).as(name)
