@@ -269,9 +269,15 @@ object SketchKernel {
     val out = new Array[Byte](math.max(total - 1, 0))
     val it2 = seen.iterator()
     var pos = 0
+    var first = true
     while (it2.hasNext) {
       val line = it2.next()
-      if (pos > 0) { out(pos) = '\n'; pos += 1 }
+      // a FIRST-element flag, not pos > 0: a kept empty first line writes
+      // no bytes, and the pos heuristic would then skip the separator
+      // before line two and leave a stray trailing byte (found by the
+      // KernelPropertySpec seeded sweep)
+      if (!first) { out(pos) = '\n'; pos += 1 }
+      first = false
       val lb = line.getBytes
       System.arraycopy(lb, 0, out, pos, lb.length)
       pos += lb.length

@@ -63,6 +63,62 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(ms < 1000.0, s"native chunking took ${ms}ms on 200k tokens")
   }
 
+  test("tokenTfData == reference counting for random token streams (empties excluded)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("", "a", "bb", "word", "ü", "x1", "a") // "a" doubled: force dups
+    for (trial <- 1 to 2000) {
+      val nTok = rnd.nextInt(30)
+      val text = Array.fill(nTok max 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val got = SketchKernel.tokenTfData(UTF8String.fromString(text))
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 2)
+        (row.getUTF8String(0).toString, row.getLong(1))
+      }
+      val tokens = text.split(" ", -1).filter(_.nonEmpty)
+      // counts match as a map AND the order is first-occurrence
+      val expectedMap = tokens.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+      assert(gotPairs.toMap == expectedMap, s"trial=$trial text='$text'")
+      assert(gotPairs.map(_._1) == tokens.distinct.toSeq, s"trial=$trial order text='$text'")
+    }
+  }
+
+  test("dedupLines == reference first-occurrence dedup for random line streams") {
+    val rnd = new scala.util.Random(13)
+    val lines = Array("", "a", "line one", "ü", "x")
+    for (trial <- 1 to 2000) {
+      val n = rnd.nextInt(12)
+      val text = Array.fill(n max 1)(lines(rnd.nextInt(lines.length))).mkString("\n")
+      val got = SketchKernel.dedupLines(UTF8String.fromString(text)).toString
+      val expected = text.split("\n", -1).distinct.mkString("\n")
+      assert(got == expected, s"trial=$trial text='${text.replace("\n", "\\n")}'")
+    }
+  }
+
+  test("QuantileBuffer: exact n, sorted-survivor ranks track targets under random merge splits") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 200) {
+      val n = 1000 + rnd.nextInt(5000)
+      val values = Array.fill(n)(rnd.nextInt(100000).toLong)
+      // random split into 1..8 sub-buffers, merged in random order
+      val parts = 1 + rnd.nextInt(8)
+      val bufs = Array.fill(parts)(new QuantileBuffer(128))
+      values.foreach(v => bufs(rnd.nextInt(parts)).insert(v))
+      val merged = bufs.reduce { (a, b) => a.mergeFrom(b); a }
+      assert(merged.n == n.toLong, s"trial=$trial")
+      val sorted = values.sorted
+      for (p <- Seq(0.5, 0.9)) {
+        val est = merged.quantiles(Seq(p)).head
+        val target = math.ceil(p * n).toLong
+        val lt = sorted.count(_ < est).toLong
+        val le = sorted.count(_ <= est).toLong
+        val err =
+          if (target > lt && target <= le) 0L
+          else math.min(math.abs(target - (lt + 1)), math.abs(target - le))
+        assert(err.toDouble / n <= 0.05, s"trial=$trial p=$p err=$err n=$n")
+      }
+    }
+  }
+
   test("MgBuffer: n exact, no overestimates, superset guarantee for any stream split") {
     val rnd = new scala.util.Random(13)
     val items = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
