@@ -265,10 +265,23 @@ object Similarity {
     * corpus; size nlist ~ sqrt(n) at scale and raise nprobe for recall. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 5): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 5): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, trainIters), nprobe)
+
+  /** IVF search against a PRE-TRAINED coarse quantizer — at corpus scale
+    * the index is trained once (hours of k-means over billions of
+    * vectors), persisted ([[saveIvfCentroids]]/[[loadIvfCentroids]]), and
+    * reused by every query batch; re-training per call would dominate
+    * query cost and silently shift bucket boundaries between runs. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    // empty centroids (an empty training corpus) degrade to an empty
+    // result, not an error — the probe fan-out produces no rows
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cs = trainIvfCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val cs = centroids
 
     val assigned = cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
       .mapPartitions(it => it.map { case (id, v) => (nearestCentroid(v, cs), id, v) })
@@ -286,6 +299,28 @@ object Similarity {
     explodeTopK(
       scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
   }
+
+  /** Persist a trained quantizer as one snapshot batch of (centroid_id,
+    * centroid) rows through the same crash-safe table contract every
+    * other artifact uses (TableIO manifest commits; read with the
+    * matching loader). Training is deterministic, so a re-save of the
+    * same corpus is byte-identical. */
+  def saveIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       centroids: Array[Array[Double]], tableRoot: String,
+                       batchId: String = "ivf-centroids"): Unit = {
+    import spark.implicits._
+    new graft.sources.ParquetManifestTable(tableRoot).commit(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("centroid_id", "centroid"),
+      batchId)
+  }
+
+  /** Load the newest persisted quantizer (centroid_id order restored). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       tableRoot: String): Array[Array[Double]] =
+    new graft.sources.ParquetManifestTable(tableRoot).readLatest(spark)
+      .orderBy("centroid_id")
+      .collect().map(_.getSeq[Double](1).toArray)
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= minCos):
     * multi-table LSH candidates, exactly verified.

@@ -138,6 +138,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfAutoNlist(1L << 40).toLong * 1024 <= Similarity.MaxCentroidCells)
   }
 
+  test("IVF index persistence: save -> load -> search == inline-trained search") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val tableRoot = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 8)
+    Similarity.saveIvfCentroids(spark, trained, tableRoot)
+    val loaded = Similarity.loadIvfCentroids(spark, tableRoot)
+    assert(loaded.length == trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "roundtripped centroids must be value-identical")
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nlist = 8)
+      .orderBy("query_id", "id").collect().map(_.toString).toSeq
+    val reused = Similarity.ivfTopKWith(emb, queries, "vec_id", "embedding", k = 5, loaded)
+      .orderBy("query_id", "id").collect().map(_.toString).toSeq
+    assert(reused == inline, "search against the persisted index must equal inline training")
+  }
+
   test("groupCentroidsI4: exact integer means, ragged vectors visible via per-dim n") {
     import spark.implicits._
     val df = Seq(
