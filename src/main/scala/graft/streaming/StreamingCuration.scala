@@ -63,6 +63,31 @@ object StreamingCuration {
       .select(col("id"), col("n_lines"), col("n_kept"), col("clean_text"))
   }
 
+  /** Streaming decontamination: flag each arriving document against a
+    * STATIC benchmark frame. Decontamination is per-document independent
+    * (a doc's overlap depends only on its own shingles and the fixed
+    * benchmark set), so unlike the boilerplate strip there is no
+    * cross-document state and no retroactivity — each micro-batch runs
+    * the batch operator verbatim and appends one immutable result batch;
+    * the output union equals the batch operator over all delivered docs
+    * (StreamingCurationSpec). */
+  def startDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         outRoot: String, checkpointDir: String,
+                         w: Int = 13, minOverlap: Long = 3L,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val outT = new ParquetManifestTable(outRoot)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        outT.commit(
+          graft.operators.Decontaminate.flag(batch, benchmark, "id", "text",
+            w = w, minOverlap = minOverlap),
+          f"b$batchId%08d")
+      }
+      .start()
+  }
+
   /** One micro-batch: append lines, merge counts, recompute + upsert
     * affected documents. Exposed for direct testing of the foreachBatch
     * body. `batchId` must be unique and lexicographically ordered across

@@ -73,6 +73,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(cleanRows(stateRoot) == batchRows(all))
   }
 
+  test("streaming decontaminate across two deliveries == batch flag over the union") {
+    import graft.operators.Decontaminate
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdc_in").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_sdc_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sdc_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val bench = Seq((100L, "q w e r t y")).toDF("id", "text")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.startDecontaminate(stream, bench, outRoot, ckDir,
+        w = 3, minOverlap = 2L)
+      q.awaitTermination(120000)
+    }
+    val d1 = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"))
+    val d2 = Seq((3L, "q w e zz q w e r"), (4L, null.asInstanceOf[String]))
+    d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
+    d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
+
+    val streamed = new graft.sources.ParquetManifestTable(outRoot).read(spark)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val batch = Decontaminate.flag((d1 ++ d2).toDF("id", "text"), bench, "id", "text",
+        w = 3, minOverlap = 2L)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+  }
+
   test("end-to-end through a real file-source stream across two runs") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in").toString
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_st").toString
