@@ -273,19 +273,47 @@ object Similarity {
     * the index is trained once (hours of k-means over billions of
     * vectors), persisted ([[saveIvfCentroids]]/[[loadIvfCentroids]]), and
     * reused by every query batch; re-training per call would dominate
-    * query cost and silently shift bucket boundaries between runs. */
+    * query cost and silently shift bucket boundaries between runs.
+    *
+    * This variant still ASSIGNS the corpus per call (one map-local pass).
+    * A static corpus serving many query batches should also persist the
+    * inverted lists: write [[assignIvf]]'s output once (ideally
+    * partitioned/bucketed by `cid`) and search it with
+    * [[ivfTopKAssigned]] — then per-batch work is proportional to the
+    * probed lists, not the corpus. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    // empty centroids (an empty training corpus) degrade to an empty
-    // result, not an error — the probe fan-out produces no rows
+                  centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame =
+    ivfTopKAssigned(assignIvf(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, centroids, nprobe)
+
+  /** The inverted-list assignment: (cid, id, vec), one map-local pass
+    * with closure-shipped centroids. Persist this (partitioned by `cid`)
+    * to make the IVF index fully materialized. Empty centroids (an empty
+    * training corpus) yield an empty frame. */
+  def assignIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cs = centroids
+    if (cs.isEmpty)
+      cleanVectors(corpus, idCol, vecCol).limit(0)
+        .select(lit(0).as("cid"), col("id"), col("vec"))
+    else
+      cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
+        .mapPartitions(it => it.map { case (id, v) => (nearestCentroid(v, cs), id, v) })
+        .toDF("cid", "id", "vec")
+  }
 
-    val assigned = cleanVectors(corpus, idCol, vecCol).as[(Long, Seq[Double])]
-      .mapPartitions(it => it.map { case (id, v) => (nearestCentroid(v, cs), id, v) })
-      .toDF("cid", "id", "vec")
+  /** Search a pre-assigned inverted-list frame (the [[assignIvf]]
+    * schema). With `assigned` read from storage partitioned by `cid`,
+    * the probe join prunes to the probed lists. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cs = centroids
 
     val probes = cleanVectors(queries, idCol, vecCol)
       .withColumnRenamed("id", "query_id").as[(Long, Seq[Double])]
@@ -303,16 +331,30 @@ object Similarity {
   /** Persist a trained quantizer as one snapshot batch of (centroid_id,
     * centroid) rows through the same crash-safe table contract every
     * other artifact uses (TableIO manifest commits; read with the
-    * matching loader). Training is deterministic, so a re-save of the
-    * same corpus is byte-identical. */
+    * matching loader). The default batch id is a CONTENT hash of the
+    * centroid matrix: re-saving the identical quantizer is an idempotent
+    * no-op (commit skips committed ids), while a RETRAINED quantizer gets
+    * a fresh id and becomes the new `readLatest` snapshot — a fixed name
+    * here would make every retrain a silent no-op serving stale
+    * centroids forever. */
   def saveIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        centroids: Array[Array[Double]], tableRoot: String,
-                       batchId: String = "ivf-centroids"): Unit = {
+                       batchId: String = null): Unit = {
     import spark.implicits._
+    val id =
+      if (batchId != null) batchId
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bb = java.nio.ByteBuffer.allocate(8)
+        centroids.foreach(_.foreach { v =>
+          bb.clear(); bb.putDouble(v); md.update(bb.array())
+        })
+        "ivf-" + md.digest().map(b => f"$b%02x").mkString.take(16)
+      }
     new graft.sources.ParquetManifestTable(tableRoot).commit(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("centroid_id", "centroid"),
-      batchId)
+      id)
   }
 
   /** Load the newest persisted quantizer (centroid_id order restored). */

@@ -67,22 +67,34 @@ object StreamingCuration {
     * STATIC benchmark frame. Decontamination is per-document independent
     * (a doc's overlap depends only on its own shingles and the fixed
     * benchmark set), so unlike the boilerplate strip there is no
-    * cross-document state and no retroactivity — each micro-batch runs
-    * the batch operator verbatim and appends one immutable result batch;
-    * the output union equals the batch operator over all delivered docs
-    * (StreamingCurationSpec). */
+    * cross-document state and no retroactivity — each micro-batch flags
+    * its FIRST-SEEN docs (in-batch and cross-batch re-deliveries drop,
+    * the module's streaming contract) against the benchmark shingle set
+    * (reduced and cached ONCE, not re-derived per batch) and appends one
+    * immutable result batch; the output union equals the batch operator
+    * over the first-seen docs (StreamingCurationSpec). */
   def startDecontaminate(docs: DataFrame, benchmark: DataFrame,
                          outRoot: String, checkpointDir: String,
                          w: Int = 13, minOverlap: Long = 3L,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val outT = new ParquetManifestTable(outRoot)
+    val benchSh = graft.operators.Decontaminate
+      .benchmarkShingles(benchmark, "id", "text", w).cache()
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val inBatch = batch.select(col("id"), col("text"))
+          .groupBy(col("id"))
+          .agg(min_by(col("text"), coalesce(md5(col("text")), lit(""))).as("text"))
+        val fresh =
+          if (outT.exists && outT.committedBatches.nonEmpty)
+            inBatch.join(outT.read(spark).select("id").distinct(), Seq("id"), "left_anti")
+          else inBatch
         outT.commit(
-          graft.operators.Decontaminate.flag(batch, benchmark, "id", "text",
-            w = w, minOverlap = minOverlap),
+          graft.operators.Decontaminate.flagAgainstShingles(fresh, benchSh,
+            "id", "text", w, minOverlap),
           f"b$batchId%08d")
       }
       .start()

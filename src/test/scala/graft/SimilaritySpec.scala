@@ -154,6 +154,23 @@ class SimilaritySpec extends AnyFunSuite {
     val reused = Similarity.ivfTopKWith(emb, queries, "vec_id", "embedding", k = 5, loaded)
       .orderBy("query_id", "id").collect().map(_.toString).toSeq
     assert(reused == inline, "search against the persisted index must equal inline training")
+    // pre-assigned inverted lists: persisting assignIvf's output and
+    // searching it must equal the assign-per-call path
+    val assignedDir = java.nio.file.Files.createTempDirectory("graft_ivf_asg").toString
+    Similarity.assignIvf(emb, "vec_id", "embedding", loaded)
+      .write.mode("overwrite").parquet(assignedDir)
+    val preAssigned = Similarity.ivfTopKAssigned(
+        spark.read.parquet(assignedDir), queries, "vec_id", "embedding", k = 5, loaded)
+      .orderBy("query_id", "id").collect().map(_.toString).toSeq
+    assert(preAssigned == inline)
+    // a RETRAINED (different) quantizer must become the served snapshot,
+    // not be silently dropped by the idempotent commit
+    Thread.sleep(20) // commit-time tiebreak is mtime-then-name
+    val retrained = trained.map(_.map(_ + 1.0))
+    Similarity.saveIvfCentroids(spark, retrained, tableRoot)
+    val reloaded = Similarity.loadIvfCentroids(spark, tableRoot)
+    assert(reloaded.zip(retrained).forall { case (a, b) => a.sameElements(b) },
+      "retrain save must supersede the old snapshot")
   }
 
   test("groupCentroidsI4: exact integer means, ragged vectors visible via per-dim n") {

@@ -87,16 +87,21 @@ class StreamingCurationSpec extends AnyFunSuite {
       val stream = spark.readStream.schema(schema).parquet(inDir)
       val q = StreamingCuration.startDecontaminate(stream, bench, outRoot, ckDir,
         w = 3, minOverlap = 2L)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
     }
     val d1 = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"))
-    val d2 = Seq((3L, "q w e zz q w e r"), (4L, null.asInstanceOf[String]))
+    // delivery 2 re-delivers id 1 (with different text) and repeats id 3
+    // in-batch: first-seen-wins must keep exactly one row per id
+    val d2 = Seq((3L, "q w e zz q w e r"), (3L, "q w e zz q w e r"),
+      (1L, "redelivered ignored"), (4L, null.asInstanceOf[String]))
     d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
     d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
 
     val streamed = new graft.sources.ParquetManifestTable(outRoot).read(spark)
       .orderBy("id").collect().map(_.toString).toSeq
-    val batch = Decontaminate.flag((d1 ++ d2).toDF("id", "text"), bench, "id", "text",
+    val firstSeen = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"),
+      (3L, "q w e zz q w e r"), (4L, null.asInstanceOf[String]))
+    val batch = Decontaminate.flag(firstSeen.toDF("id", "text"), bench, "id", "text",
         w = 3, minOverlap = 2L)
       .orderBy("id").collect().map(_.toString).toSeq
     assert(streamed == batch)
@@ -115,7 +120,7 @@ class StreamingCurationSpec extends AnyFunSuite {
       val stream = spark.readStream.schema(schema).parquet(inDir)
       val q = StreamingCuration.start(stream, stateRoot, ckDir,
         chunk = 2, minDocs = 2L, trigger = Trigger.AvailableNow())
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
     }
 
     Seq((1L, "shared nav body one"), (2L, "plain text")).toDF("id", "text")
