@@ -427,6 +427,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // cross-doc KEEP-FIRST line dedup (C4-style exact-span discipline):
+    // each distinct 8-token line survives only at its lexicographically
+    // first (doc, idx) occurrence; the injected duplicate docs lose every
+    // line to their originals
+    "q57_keep_first_lines" -> ((s, dir) =>
+      WebCuration.keepFirstLines(docsWithDups(s, dir), "doc_id", "text", chunk = 8)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // within-doc duplicate-line REMOVAL (the Gopher repetition-removal
     // counterpart to q42's signals): the corpus has no newlines, so each
     // token becomes a line (space -> \n) and the native one-pass
@@ -1184,6 +1194,27 @@ object SparkEntry {
            WHERE d.df * 1000000 <= n.n_docs * 900000
          ) WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    // q40's line construction; the winner key doc_id*100000+idx encodes
+    // the lexicographic (doc_id, idx) min exactly because idx < 100000
+    // for every document in this corpus
+    "q57_keep_first_lines" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+         lin0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(t)-1)//8 + 1),
+             i -> {'idx': i, 'line': array_to_string(t[i*8+1:i*8+8], ' ')})) AS l
+           FROM toks),
+         lines AS (SELECT doc_id, l.idx AS idx, l.line AS line, md5(l.line) AS h FROM lin0),
+         w AS (SELECT h, min(doc_id * 100000 + idx) AS wk FROM lines GROUP BY h),
+         flagged AS (SELECT l.doc_id, l.idx, l.line,
+                            (l.doc_id * 100000 + l.idx) = w.wk AS keep
+                     FROM lines l JOIN w USING (h))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)) AS clean_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
 
     // first-occurrence order via min-ordinal grouping; chr(10) join
     // reproduces the native expression's output byte-for-byte

@@ -85,17 +85,60 @@ object WebCuration {
     * line_md5) rows; `hot` = (line_md5, hot) boilerplate set. Returns one
     * row per id present in `exploded`: (id, n_lines, n_kept, joined). */
   private[graft] def reassemble(exploded: DataFrame, hot: DataFrame): DataFrame =
-    exploded
-      .join(hot, Seq("line_md5"), "left")
+    reassembleKept(exploded.join(hot, Seq("line_md5"), "left")
+      .withColumn("keep", col("hot").isNull))
+
+  /** Row-level form of the reassembly: `flagged` = (id, idx, line, keep)
+    * rows; surviving lines rejoin in index order. One row per id present
+    * in `flagged`: (id, n_lines, n_kept, joined). */
+  private[graft] def reassembleKept(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("hot").isNull, struct(col("idx"), col("line"))))),
+            array_sort(collect_list(when(col("keep"), struct(col("idx"), col("line"))))),
             s => s.getField("line")),
           "\n").as("joined"))
+
+  /** Cross-document KEEP-FIRST line dedup (the C4/"Deduplicating Training
+    * Data" exact-span discipline at line granularity): every distinct
+    * line keeps exactly its FIRST occurrence — lexicographically smallest
+    * (id, idx) — and every later copy (in other documents OR later in the
+    * same document) is struck. Contrast with [[stripBoilerplate]], which
+    * strikes recurring lines from EVERY document including the first.
+    *
+    * Output: (id, n_lines, n_kept, clean_text), clean_text NULL when a
+    * document's every line occurred earlier elsewhere. Ids must be
+    * unique (checked anchor raise_errors on duplicates).
+    *
+    * Scale shape: the winner aggregate is a map-side-combined min of a
+    * compact (id, idx) struct per line md5 — no window over the md5
+    * keyspace, so a line recurring in millions of documents costs a
+    * partial-agg cell, not a hot partition; lines ride a shuffle only in
+    * the reassembly that IS the output. */
+  def keepFirstLines(df: DataFrame, idCol: String, textCol: String,
+                     chunk: Int = 8, materialize: Boolean = true,
+                     reliableCheckpoint: Boolean = false): DataFrame = {
+    val exploded0 = df
+      .select(col(idCol).as("id"), posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")))
+      .withColumn("line_md5", md5(col("line")))
+    val exploded =
+      if (materialize) Dedup.checkpointDf(exploded0, reliableCheckpoint) else exploded0
+    val winners = exploded
+      .groupBy(col("line_md5"))
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+    val flagged = exploded.join(winners, Seq("line_md5"))
+      .withColumn("keep", struct(col("id"), col("idx")) === col("w"))
+    Dedup.checkedIdAnchor(df, idCol, "WebCuration.keepFirstLines")
+      .join(reassembleKept(flagged), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("clean_text"))
+  }
 
   // ---------- PII ----------
 

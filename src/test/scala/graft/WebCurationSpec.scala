@@ -65,6 +65,30 @@ class WebCurationSpec extends AnyFunSuite {
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
+  test("keepFirstLines: first (id, idx) occurrence survives, later copies struck everywhere") {
+    // chunk=2 lines. doc 1: [aa bb, cc dd]; doc 2: [aa bb, ee ff];
+    // doc 3: [cc dd, cc dd] (in-doc repeat loses to doc 1 AND to itself)
+    val df = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb ee ff"),
+      (3L, "cc dd cc dd"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = WebCuration.keepFirstLines(df, "doc_id", "text", chunk = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "aa bb\ncc dd"),  // first occurrences: keeps everything
+      (2L, 2L, 1L, "ee ff"),          // "aa bb" lost to doc 1
+      (3L, 2L, 0L, null),             // both copies of "cc dd" lost to doc 1
+      (4L, 0L, 0L, null)))
+    // duplicate ids are loud, same as the other per-doc operators
+    val dup = Seq((1L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      WebCuration.keepFirstLines(dup, "doc_id", "text", chunk = 2).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       "mail a.b+c@test.org and x9@y.co end",
