@@ -205,6 +205,25 @@ class PlanSpec extends AnyFunSuite {
       shuffles.map(_.output.map(_.name).mkString("|")).mkString("\n"))
   }
 
+  test("keep-first lines: winner selection is an aggregate, never a window over the md5 keyspace") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.WebCuration.keepFirstLines(docs, "doc_id", "text")
+    withAqeOff {
+      val plan = out.queryExecution.executedPlan
+      // no WindowExec anywhere: a hot template line must cost a
+      // partial-agg cell, not a single-partition window sort
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "keepFirstLines must not plan a window")
+    }
+    // the document text never rides an exchange (lines only, in the
+    // reassembly that is the output)
+    collectShuffles(out).foreach { s =>
+      assert(!s.output.map(_.name).contains("text"),
+        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("repetition signals: bigram aggregation shuffles md5 keys, never text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = graft.operators.WebCuration.repetitionSignals(docs, "doc_id", "text")
