@@ -346,9 +346,13 @@ object Similarity {
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
         val bb = java.nio.ByteBuffer.allocate(8)
-        centroids.foreach(_.foreach { v =>
-          bb.clear(); bb.putDouble(v); md.update(bb.array())
-        })
+        // each row's LENGTH feeds the digest before its values: without
+        // the shape delimiter, [[1,2],[3,4]] and [[1,2,3,4]] flatten to
+        // the same byte stream and a retrain could silently no-op
+        centroids.foreach { row =>
+          bb.clear(); bb.putLong(row.length.toLong); md.update(bb.array())
+          row.foreach { v => bb.clear(); bb.putDouble(v); md.update(bb.array()) }
+        }
         "ivf-" + md.digest().map(b => f"$b%02x").mkString.take(16)
       }
     new graft.sources.ParquetManifestTable(tableRoot).commit(

@@ -117,8 +117,10 @@ object WebCuration {
     * Scale shape: the winner aggregate is a map-side-combined min of a
     * compact (id, idx) struct per line md5 — no window over the md5
     * keyspace, so a line recurring in millions of documents costs a
-    * partial-agg cell, not a hot partition; lines ride a shuffle only in
-    * the reassembly that IS the output. */
+    * partial-agg cell, not a hot partition; every md5-keyed exchange
+    * carries (id, idx, md5) triples only, and line TEXT rides a shuffle
+    * solely on the (id, idx)-keyed flag join-back feeding the reassembly
+    * that IS the output (PlanSpec-asserted). */
   def keepFirstLines(df: DataFrame, idCol: String, textCol: String,
                      chunk: Int = 8, materialize: Boolean = true,
                      reliableCheckpoint: Boolean = false): DataFrame = {
@@ -127,11 +129,17 @@ object WebCuration {
       .withColumn("line_md5", md5(col("line")))
     val exploded =
       if (materialize) Dedup.checkpointDf(exploded0, reliableCheckpoint) else exploded0
-    val winners = exploded
+    // winner selection runs entirely in compact (id, idx, md5) space —
+    // joining the full exploded frame by md5 would drag every copy of a
+    // hot template line's TEXT into one join partition
+    val compact = exploded.select(col("id"), col("idx"), col("line_md5"))
+    val winners = compact
       .groupBy(col("line_md5"))
       .agg(min(struct(col("id"), col("idx"))).as("w"))
-    val flagged = exploded.join(winners, Seq("line_md5"))
-      .withColumn("keep", struct(col("id"), col("idx")) === col("w"))
+    val flags = compact.join(winners, Seq("line_md5"))
+      .select(col("id"), col("idx"),
+        (struct(col("id"), col("idx")) === col("w")).as("keep"))
+    val flagged = exploded.join(flags, Seq("id", "idx"))
     Dedup.checkedIdAnchor(df, idCol, "WebCuration.keepFirstLines")
       .join(reassembleKept(flagged), Seq("id"), "left")
       .select(col("id"),

@@ -82,13 +82,16 @@ final class ParquetManifestTable(rootDir: String) extends TableIO {
   /** The newest committed batch only — the read shape for REPLACE-style
     * tables (e.g. a curated snapshot recomputed per run), where `read`'s
     * union-of-batches semantics would duplicate rows. "Newest" is by
-    * manifest-entry commit TIME (ties by name), never by batch-id name
-    * order — content-hash batch ids sort arbitrarily. */
+    * manifest-entry commit TIME at the filesystem's full resolution
+    * (nanoseconds where supported — millisecond truncation made two
+    * commits in the same tick resolve by NAME, which sorts arbitrarily
+    * for content-hash batch ids), ties by name. */
   def readLatest(spark: SparkSession): DataFrame = {
     val batches = committedBatches
     require(batches.nonEmpty, s"no committed batches under $rootDir")
     val latest = batches.maxBy { b =>
-      (Files.getLastModifiedTime(manifestDir.resolve(b + ".committed")).toMillis, b)
+      (Files.getLastModifiedTime(manifestDir.resolve(b + ".committed"))
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS), b)
     }
     spark.read.parquet(dataDir.resolve(latest).toString)
   }

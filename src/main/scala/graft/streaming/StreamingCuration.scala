@@ -73,6 +73,22 @@ object StreamingCuration {
     * (reduced and cached ONCE, not re-derived per batch) and appends one
     * immutable result batch; the output union equals the batch operator
     * over the first-seen docs (StreamingCurationSpec). */
+  /** The streaming first-seen-wins contract, shared by both legs: one
+    * row per id, in-batch re-deliveries resolved by md5 order with
+    * NON-NULL text preferred ('~' sorts after every md5 hex digit — a
+    * failed-fetch null delivery must not mask the real content the retry
+    * carried), cross-batch re-deliveries dropped against the committed
+    * id set. */
+  private def firstSeen(batch: DataFrame, committed: ParquetManifestTable): DataFrame = {
+    val spark = batch.sparkSession
+    val inBatch = batch.select(col("id"), col("text"))
+      .groupBy(col("id"))
+      .agg(min_by(col("text"), coalesce(md5(col("text")), lit("~"))).as("text"))
+    if (committed.exists && committed.committedBatches.nonEmpty)
+      inBatch.join(committed.read(spark).select("id").distinct(), Seq("id"), "left_anti")
+    else inBatch
+  }
+
   def startDecontaminate(docs: DataFrame, benchmark: DataFrame,
                          outRoot: String, checkpointDir: String,
                          w: Int = 13, minOverlap: Long = 3L,
@@ -80,24 +96,35 @@ object StreamingCuration {
     val outT = new ParquetManifestTable(outRoot)
     val benchSh = graft.operators.Decontaminate
       .benchmarkShingles(benchmark, "id", "text", w).cache()
-    docs.writeStream
+    val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val inBatch = batch.select(col("id"), col("text"))
-          .groupBy(col("id"))
-          .agg(min_by(col("text"), coalesce(md5(col("text")), lit(""))).as("text"))
-        val fresh =
-          if (outT.exists && outT.committedBatches.nonEmpty)
-            inBatch.join(outT.read(spark).select("id").distinct(), Seq("id"), "left_anti")
-          else inBatch
         outT.commit(
-          graft.operators.Decontaminate.flagAgainstShingles(fresh, benchSh,
-            "id", "text", w, minOverlap),
+          graft.operators.Decontaminate.flagAgainstShingles(
+            firstSeen(batch, outT), benchSh, "id", "text", w, minOverlap),
           f"b$batchId%08d")
       }
       .start()
+    // tie the cached shingle set's lifetime to the query — without this
+    // every start() pins one orphaned cached frame in storage memory for
+    // the session's lifetime
+    val spark = docs.sparkSession
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            benchSh.unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+    q
   }
 
   /** One micro-batch: append lines, merge counts, recompute + upsert
@@ -112,19 +139,11 @@ object StreamingCuration {
     val countsT = new ParquetManifestTable(s"$stateRoot/counts")
     val cleanT = new ParquetManifestTable(s"$stateRoot/clean")
 
-    // ---- 0: first-seen-wins vs committed ids, deterministic within-batch
-    val inBatch = batch.select(col("id"), col("text"))
-      .groupBy(col("id"))
-      // a re-fetch delivered twice INSIDE one batch: pick by md5 order so
-      // retries reduce identically (null text sorts first via the '' key)
-      .agg(min_by(col("text"), coalesce(md5(col("text")), lit(""))).as("text"))
-    val fresh0 =
-      if (cleanT.exists && cleanT.committedBatches.nonEmpty)
-        inBatch.join(cleanT.read(spark).select("id").distinct(), Seq("id"), "left_anti")
-      else inBatch
-    // several consumers below; this is one micro-batch — small — so a
-    // local materialization is the right tool
-    val fresh = fresh0.localCheckpoint()
+    // ---- 0: first-seen-wins vs committed ids (shared contract; non-null
+    // text preferred among in-batch re-deliveries). Several consumers
+    // below; this is one micro-batch — small — so a local materialization
+    // is the right tool
+    val fresh = firstSeen(batch, cleanT).localCheckpoint()
 
     // ---- 1: append the batch's lines (id, idx, line, line_md5)
     val linesB = fresh

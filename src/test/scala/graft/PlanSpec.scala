@@ -216,11 +216,18 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.collect { case w: WindowExec => w }.isEmpty,
         "keepFirstLines must not plan a window")
     }
-    // the document text never rides an exchange (lines only, in the
-    // reassembly that is the output)
+    // the document text never rides an exchange, and line TEXT rides only
+    // (id, idx)-keyed exchanges (the flag join-back / reassembly) — an
+    // md5-keyed exchange carrying lines would put every copy of a hot
+    // template line (with its text) in one partition
     collectShuffles(out).foreach { s =>
-      assert(!s.output.map(_.name).contains("text"),
-        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
+      val names = s.output.map(_.name)
+      assert(!names.contains("text"), s"shuffle carries ${names.mkString(",")}")
+      if (names.contains("line")) {
+        val part = s.outputPartitioning.toString
+        assert(part.contains("id#"), s"line-carrying exchange not id-keyed: $part")
+        assert(!part.contains("line_md5#"), s"line-carrying exchange md5-keyed: $part")
+      }
     }
   }
 
