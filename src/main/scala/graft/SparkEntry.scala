@@ -1197,12 +1197,15 @@ object SparkEntry {
 
     // q40's line construction; the winner key doc_id*100000+idx encodes
     // the lexicographic (doc_id, idx) min exactly because idx < 100000
-    // for every document in this corpus
+    // for every document in this corpus. Anchored on DISTINCT doc_id with
+    // a LEFT JOIN so NULL-text docs keep their (id, 0, 0, NULL) row like
+    // keepFirstLines emits (unnest of a NULL list would drop them)
     "q57_keep_first_lines" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM docs WHERE text IS NOT NULL),
          lin0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(t)-1)//8 + 1),
              i -> {'idx': i, 'line': array_to_string(t[i*8+1:i*8+8], ' ')})) AS l
            FROM toks),
@@ -1210,11 +1213,15 @@ object SparkEntry {
          w AS (SELECT h, min(doc_id * 100000 + idx) AS wk FROM lines GROUP BY h),
          flagged AS (SELECT l.doc_id, l.idx, l.line,
                             (l.doc_id * 100000 + l.idx) = w.wk AS keep
-                     FROM lines l JOIN w USING (h))
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     FROM lines l JOIN w USING (h)),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            md5(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)) AS clean_md5
-         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+         FROM flagged GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.clean_md5
+         FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
 
     // first-occurrence order via min-ordinal grouping; chr(10) join
     // reproduces the native expression's output byte-for-byte
@@ -1235,15 +1242,26 @@ object SparkEntry {
          FROM lined l JOIN joined j USING (doc_id)
          ORDER BY doc_id""",
 
-    // 1-based dims via range(len); same floor-scale-sum-div arithmetic
+    // 1-based dims via range(len); same floor-scale-sum arithmetic. Two
+    // DuckDB-version hazards are neutralized here: sum(BIGINT) returns
+    // HUGEINT (hashes as float/decimal, not int64 — CAST AS BIGINT), and
+    // `//` floor-vs-truncate semantics on NEGATIVE operands moved across
+    // versions — so division only ever runs on non-negative operands
+    // (where floor == truncate in every version) with the sign re-applied
+    // to mirror Spark's toward-zero `div` exactly
     "q54_group_centroids" ->
-      """SELECT label, i + 1 AS dim, count(*) AS n,
-                sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT))
-                  // count(*) AS mean_i4
-         FROM embeddings, unnest(range(len(embedding))) AS t(i)
-         WHERE embedding IS NOT NULL AND label IS NOT NULL
-         GROUP BY label, i + 1
-         ORDER BY label, dim""",
+      """WITH agg AS (
+           SELECT label, i + 1 AS dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000)
+                               AS BIGINT)) AS BIGINT) AS s
+           FROM embeddings, unnest(range(len(embedding))) AS t(i)
+           WHERE embedding IS NOT NULL AND label IS NOT NULL
+           GROUP BY label, i + 1
+         )
+         SELECT label, dim, n,
+                CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                     AS BIGINT) AS mean_i4
+         FROM agg ORDER BY label, dim""",
 
     // same injected-unique-token construction; df counted over distinct
     // (doc, token) pairs; integer // for the ppm
@@ -1265,16 +1283,17 @@ object SparkEntry {
          ), dfreq AS (
            SELECT token, count(*) AS df FROM tf GROUP BY token
          ), st AS (
-           SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
-                  sum(CASE WHEN d.df <= 1 THEN tf.tf ELSE 0 END) AS n_rare
+           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN d.df <= 1 THEN tf.tf ELSE 0 END)
+                       AS BIGINT) AS n_rare
            FROM tf JOIN dfreq d USING (token) GROUP BY tf.doc_id
          )
          SELECT d.doc_id,
-                coalesce(st.n_tokens, 0) AS n_tokens,
-                coalesce(st.n_rare, 0) AS n_rare,
-                CASE WHEN coalesce(st.n_tokens, 0) > 0
+                CAST(coalesce(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(st.n_rare, 0) AS BIGINT) AS n_rare,
+                CAST(CASE WHEN coalesce(st.n_tokens, 0) > 0
                      THEN coalesce(st.n_rare, 0) * 1000000 // st.n_tokens
-                     ELSE 0 END AS rare_ppm
+                     ELSE 0 END AS BIGINT) AS rare_ppm
          FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN st USING (doc_id)
          ORDER BY doc_id""",
 

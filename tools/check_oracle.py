@@ -21,15 +21,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize cell values so list/float representations compare stably
+    # canonicalize cell values so list/float representations compare stably.
+    # Values are TYPE-TAGGED: the driver hashes stringified values, so an
+    # int64 Spark column vs a float64/Decimal oracle column (e.g. DuckDB
+    # sum() returning HUGEINT -> float in fetchdf) must FAIL here even
+    # though Python's `1000000 == 1000000.0` — that laxness is exactly how
+    # the q53/q54 r4 driver-only hash failures slipped past this replica.
     def cell(v):
         if isinstance(v, (list, tuple)):
             return tuple(cell(x) for x in v)
         if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
             t = v.tolist()
-            return tuple(cell(x) for x in t) if isinstance(t, list) else t
+            return cell(t) if isinstance(t, list) else cell(t)
         if v is None or v != v:  # None/NaN: normalize for sort comparability
             return None
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, int):
+            return ("i", v)
+        if isinstance(v, float):
+            return ("f", v)
         return v
     rows = sorted((tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)),
                   key=lambda r: tuple((v is None, str(type(v)), v) for v in r))
@@ -37,6 +48,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    print(f"duckdb={duckdb.__version__} pandas={pd.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
