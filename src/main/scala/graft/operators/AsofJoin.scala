@@ -154,8 +154,10 @@ object AsofJoin {
     val lType = StructType(left.schema.fields)
     val rType = StructType(rightCols.map(c => right.schema(c)).toArray)
     val keyList = keys.map(q).mkString(", ")
-    val lStruct = left.columns.map(c => s"'$c', ${q(c)}").mkString("named_struct(", ", ", ")")
-    val rStruct = rightCols.map(c => s"'$c', ${q(c)}").mkString("named_struct(", ", ", ")")
+    val lStruct = left.columns.map(c => s"${SqlIdent.strLit(c)}, ${q(c)}")
+      .mkString("named_struct(", ", ", ")")
+    val rStruct = rightCols.map(c => s"${SqlIdent.strLit(c)}, ${q(c)}")
+      .mkString("named_struct(", ", ", ")")
     val rNotNull = (keys :+ rightTs).map(c => s"${q(c)} IS NOT NULL").mkString(" AND ")
     val outCols = (left.columns.map(c => s"__lval.${q(c)} AS ${q(c)}") ++
       rightCols.map(c => s"__carried.${q(c)} AS ${q(c)}")).mkString(", ")
@@ -175,4 +177,17 @@ object AsofJoin {
        |)
        |SELECT $outCols FROM __c WHERE __side = 1""".stripMargin
   }
+
+  /** Register the as-of join as a named temp view — the pure-SQL entry
+    * point: after one call, SQL-only users query `SELECT * FROM viewName`
+    * (and compose it further in SQL) with the exact union-sort
+    * carry-forward plan [[asofJoin]] declares; no Scala at query time.
+    * The view re-resolves its source tables on every query, so it stays
+    * live as the underlying tables change. */
+  def registerView(spark: org.apache.spark.sql.SparkSession, viewName: String,
+                   leftTable: String, rightTable: String, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String]): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      sqlRecipe(spark, leftTable, rightTable, keys, leftTs, rightTs, rightCols))
 }

@@ -360,7 +360,7 @@ object Dedup {
     * the long tail of a 100 TB production run set `reliable = true` (and
     * `sparkContext.setCheckpointDir` to durable storage first): blocks then
     * land in the checkpoint dir and survive executor churn. */
-  private[operators] def checkpointDf(df: DataFrame, reliable: Boolean): DataFrame =
+  private[graft] def checkpointDf(df: DataFrame, reliable: Boolean): DataFrame =
     if (!reliable) df.localCheckpoint()
     else {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,

@@ -84,4 +84,15 @@ object RangeJoin {
        |FROM __pt JOIN __iv USING ($keyList, __bucket)
        |WHERE __pt.${q(ptTs)} >= __iv.${q(startTs)} AND __pt.${q(ptTs)} <= __iv.${q(endTs)}""".stripMargin
   }
+
+  /** Register the range join as a named temp view — the pure-SQL entry
+    * point mirroring [[AsofJoin.registerView]]: one call, then SQL-only
+    * users query `SELECT * FROM viewName` and get the bucketized equi-join
+    * plan instead of the hot-key-degenerate raw BETWEEN join. */
+  def registerView(spark: org.apache.spark.sql.SparkSession, viewName: String,
+                   pointsTable: String, intervalsTable: String, keys: Seq[String],
+                   ptTs: String, startTs: String, endTs: String,
+                   bucketSeconds: Long = 86400L): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      sqlRecipe(spark, pointsTable, intervalsTable, keys, ptTs, startTs, endTs, bucketSeconds))
 }

@@ -43,12 +43,14 @@ object StreamingCuration {
     * (versioned upserts — read with [[readClean]]). */
   def start(docs: DataFrame, stateRoot: String, checkpointDir: String,
             chunk: Int = 8, minDocs: Long = 2L,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            reliableCheckpoint: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, stateRoot, chunk, minDocs, f"b$batchId%08d")
+        processBatch(batch, stateRoot, chunk, minDocs, f"b$batchId%08d",
+          reliableCheckpoint)
       }
       .start()
 
@@ -133,25 +135,32 @@ object StreamingCuration {
     * the stream's life (the f"b%08d" ids from [[start]] are). */
   private[streaming] def processBatch(batch: DataFrame, stateRoot: String,
                                       chunk: Int, minDocs: Long,
-                                      batchId: String): Unit = {
+                                      batchId: String,
+                                      reliableCheckpoint: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val linesT = new ParquetManifestTable(s"$stateRoot/lines")
     val countsT = new ParquetManifestTable(s"$stateRoot/counts")
     val cleanT = new ParquetManifestTable(s"$stateRoot/clean")
+    // every materialization site honors the engine-wide durability mode
+    // (foreachBatch retries do replay the batch and commits are idempotent,
+    // but a reliable checkpoint keeps the RETRY itself from recomputing the
+    // lineage on executor churn mid-batch)
+    def ckpt(df: DataFrame): DataFrame =
+      graft.operators.Dedup.checkpointDf(df, reliableCheckpoint)
 
     // ---- 0: first-seen-wins vs committed ids (shared contract; non-null
     // text preferred among in-batch re-deliveries). Several consumers
     // below; this is one micro-batch — small — so a local materialization
     // is the right tool
-    val fresh = firstSeen(batch, cleanT).localCheckpoint()
+    val fresh = ckpt(firstSeen(batch, cleanT))
 
     // ---- 1: append the batch's lines (id, idx, line, line_md5)
     val linesB = fresh
       .select(col("id"),
         posexplode(WebCuration.tokenLines(col("text"), chunk)).as(Seq("idx", "line")))
       .withColumn("line_md5", md5(col("line")))
-      .localCheckpoint()
-    linesT.commit(linesB, batchId)
+    val linesCk = ckpt(linesB)
+    linesT.commit(linesCk, batchId)
 
     // ---- 2: merge counts. The PRE-batch snapshot is the newest batch id
     // strictly BEFORE this one (never "latest": a crash-retry would read
@@ -162,12 +171,11 @@ object StreamingCuration {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("line_md5", "n_docs")
       } else countsT.readBatch(spark, prevBatches.max)
-    val countsB = linesB.groupBy(col("line_md5"))
+    val countsB = linesCk.groupBy(col("line_md5"))
       .agg(countDistinct(col("id")).as("n_b"))
-    val merged = old.join(countsB, Seq("line_md5"), "full_outer")
+    val merged = ckpt(old.join(countsB, Seq("line_md5"), "full_outer")
       .select(col("line_md5"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_docs"))
-      .localCheckpoint()
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_docs")))
     countsT.commit(merged, batchId)
 
     // ---- 3: lines newly crossing the threshold in THIS batch

@@ -121,4 +121,36 @@ class AsofJoinSpec extends AnyFunSuite {
       Seq("view_event_id", "view_ts")).orderBy("event_id").collect().map(_.toString).toSeq
     assert(viaSql.nonEmpty && viaSql == viaApi)
   }
+
+  test("registerView: q37 end-to-end through a pure-SQL session") {
+    // everything after the raw table reference is SQL: the input prep, the
+    // registered as-of view, and the final query — no Scala at query time
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .createOrReplaceTempView("asof_ev_sql")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW asof_v_left AS
+      SELECT event_id, user_id, ts, value FROM asof_ev_sql WHERE event_type = 'purchase'""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW asof_v_right AS
+      SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      FROM asof_ev_sql WHERE event_type = 'view' GROUP BY user_id, ts""")
+    AsofJoin.registerView(spark, "asof_v_joined", "asof_v_left", "asof_v_right",
+      Seq("user_id"), "ts", "view_ts", Seq("view_event_id", "view_ts"))
+    val viaView = spark.sql("SELECT * FROM asof_v_joined ORDER BY event_id")
+      .collect().map(_.toString).toSeq
+    val viaQuery = graft.SparkEntry.queries("q37_asof_join")(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("view_event_id"), col("view_ts"))
+      .collect().map(_.toString).toSeq
+    assert(viaView.nonEmpty && viaView == viaQuery)
+  }
+
+  test("SQL recipe escapes hostile column names (embedded backtick and quote)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:05"))).toDF("event_id", "user_id", "t")
+    val right = Seq((10L, ts("2024-01-01 00:00:03"), 7L)).toDF("user_id", "rt", "v`x'y")
+    left.createOrReplaceTempView("asof_esc_left")
+    right.createOrReplaceTempView("asof_esc_right")
+    val sql = AsofJoin.sqlRecipe(spark, "asof_esc_left", "asof_esc_right",
+      Seq("user_id"), "t", "rt", Seq("v`x'y"))
+    val out = spark.sql(sql).collect()
+    assert(out.length == 1 && out.head.getLong(3) == 7L)
+  }
 }

@@ -72,4 +72,22 @@ class RangeJoinSpec extends AnyFunSuite {
       .orderBy("event_id", "signup_id").collect().map(_.toString).toSeq
     assert(viaSql.nonEmpty && viaSql == viaApi)
   }
+
+  test("registerView: q44 end-to-end through a pure-SQL session") {
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .createOrReplaceTempView("range_ev_sql")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW range_v_points AS
+      SELECT event_id, user_id, ts FROM range_ev_sql WHERE event_type = 'click'""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW range_v_intervals AS
+      SELECT event_id AS signup_id, user_id, ts AS s, ts + INTERVAL 3 DAYS AS e
+      FROM range_ev_sql WHERE event_type = 'signup'""")
+    RangeJoin.registerView(spark, "range_v_joined", "range_v_points", "range_v_intervals",
+      Seq("user_id"), "ts", "s", "e", bucketSeconds = 86400L)
+    val viaView = spark.sql(
+        "SELECT event_id, signup_id, user_id, ts FROM range_v_joined ORDER BY event_id, signup_id")
+      .collect().map(_.toString).toSeq
+    val viaQuery = graft.SparkEntry.queries("q44_range_join")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(viaView.nonEmpty && viaView == viaQuery)
+  }
 }

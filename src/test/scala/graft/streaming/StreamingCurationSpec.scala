@@ -62,6 +62,23 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(cleanRows(stateRoot) == batchRows(all))
   }
 
+  test("reliable-checkpoint mode converges to batch (durability flag threads through)") {
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_rel").toString
+    try {
+      sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft_scur_ckdir").toString)
+      val d1 = Seq((1L, "shared nav body one"), (2L, "solo text here now")).toDF("id", "text")
+      val d2 = Seq((3L, "shared nav body three")).toDF("id", "text")
+      StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L,
+        "b00000000", reliableCheckpoint = true)
+      StreamingCuration.processBatch(d2, stateRoot, chunk = 2, minDocs = 2L,
+        "b00000001", reliableCheckpoint = true)
+      val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
+      assert(cleanRows(stateRoot) == batchRows(all))
+    } finally prevDir.foreach(sc.setCheckpointDir)
+  }
+
   test("re-delivered ids are dropped first-seen-wins, not double-counted") {
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_redeliver").toString
     val d1 = Seq((1L, "aa bb cc dd")).toDF("id", "text")
