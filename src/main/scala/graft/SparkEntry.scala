@@ -454,6 +454,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // within-doc repeated-SPAN removal (suffix-style n-gram dedup — the
+    // exact-substring family's last member after q55's lines and q57's
+    // cross-doc lines): every 5-token shingle occurrence repeating an
+    // earlier in-doc occurrence is struck, coverage-union over positions;
+    // docs with doc_id % 3 == 0 get their first 10 tokens re-appended so
+    // the repeat signal is non-vacuous; native one-pass dedup_spans
+    // (map-only — zero shuffles before the output sort)
+    "q58_dedup_spans" -> ((s, dir) => {
+      val rep = concat(col("text"), lit(" "),
+        array_join(slice(split(col("text"), " "), 1, 10), " "))
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, rep).otherwise(col("text")).as("text"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.SketchFunctions.dedupSpans(col("text"), 5).as("ds"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(split(col("ds"), " ")).cast("long").as("n_kept"),
+          md5(col("ds")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // span-LEVEL decontamination (q52's surgical sibling): token spans
+    // matching a benchmark 5-gram shingle are excised, the rest of the
+    // document survives; benchmark = every 50th doc, so benchmark members
+    // fully excise to NULL (every position covered) — exercising the
+    // all-struck path — while bystanders pass through byte-identical
+    "q59_excise_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.excise(docs, docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans_hit"),
+          col("n_kept"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-label embedding centroids in integer 1e-4 space: elementwise
     // mean as (label, dim, n, mean_i4) rows — float->double widening +
     // floor*1e4 + long sums are order-independent and IEEE-identical in
@@ -1240,6 +1276,91 @@ object SparkEntry {
          )
          SELECT l.doc_id, len(l.ls) AS n_lines, j.n_kept, md5(j.clean) AS clean_md5
          FROM lined l JOIN joined j USING (doc_id)
+         ORDER BY doc_id""",
+
+    // same injected-repeat construction; repeats = occurrences after each
+    // shingle's min start index, coverage-union via range(5); 1-based list
+    // slices t[i+1:i+5] are the 5 tokens at 0-based start i; every doc
+    // keeps token 0, so the kept inner join drops nobody
+    "q58_dedup_spans" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' ' ||
+                            array_to_string(string_split(text, ' ')[1:10], ' ')
+                       ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL
+         ), toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM docs
+         ), sh AS (
+           SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+           FROM toks, unnest(range(len(t) - 4)) AS u(i)
+         ), firsts AS (
+           SELECT doc_id, h, min(i) AS fi FROM sh GROUP BY doc_id, h
+         ), rep AS (
+           SELECT s.doc_id, s.i FROM sh s JOIN firsts f USING (doc_id, h)
+           WHERE s.i > f.fi
+         ), cover AS (
+           SELECT DISTINCT doc_id, i + k AS pos FROM rep, unnest(range(5)) AS u(k)
+         ), tokpos AS (
+           SELECT doc_id, i AS pos, t[i+1] AS tok
+           FROM toks, unnest(range(len(t))) AS u(i)
+         ), kept AS (
+           SELECT tp.doc_id, tp.pos, tp.tok
+           FROM tokpos tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+           WHERE c.pos IS NULL
+         )
+         SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS clean_md5
+         FROM toks tk JOIN kept k USING (doc_id)
+         GROUP BY tk.doc_id, len(tk.t)
+         ORDER BY doc_id""",
+
+    // q52's benchmark construction at w=5; matched occurrences cover
+    // their 5 positions, survivors re-join by pos; fully-excised docs
+    // (the benchmark members) get NULL clean_md5 via the missing keptagg
+    // row — mirroring excise_spans' NULL-on-zero-kept contract
+    "q59_excise_spans" ->
+      """WITH bench AS (
+           SELECT DISTINCT md5(array_to_string(t[i+1:i+5], ' ')) AS h
+           FROM (SELECT string_split(text, ' ') AS t FROM documents
+                 WHERE doc_id % 50 = 0 AND text IS NOT NULL) b,
+                unnest(range(len(t) - 4)) AS u(i)
+         ), toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL
+         ), sh AS (
+           SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+           FROM toks, unnest(range(len(t) - 4)) AS u(i)
+         ), hits AS (
+           SELECT s.doc_id, s.i FROM sh s JOIN bench USING (h)
+         ), cover AS (
+           SELECT DISTINCT doc_id, i + k AS pos FROM hits, unnest(range(5)) AS u(k)
+         ), tokpos AS (
+           SELECT doc_id, i AS pos, t[i+1] AS tok
+           FROM toks, unnest(range(len(t))) AS u(i)
+         ), kept AS (
+           SELECT tp.doc_id, tp.pos, tp.tok
+           FROM tokpos tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+           WHERE c.pos IS NULL
+         ), keptagg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           FROM kept GROUP BY doc_id
+         ), nh AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_hit
+           FROM hits GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(nh.n_spans_hit, 0) AS BIGINT) AS n_spans_hit,
+                CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+                ka.clean_md5
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN toks tk USING (doc_id)
+         LEFT JOIN nh USING (doc_id)
+         LEFT JOIN keptagg ka USING (doc_id)
          ORDER BY doc_id""",
 
     // 1-based dims via range(len); same floor-scale-sum arithmetic. Two

@@ -128,6 +128,14 @@ object GraftFunctionSet {
     }),
     "token_tf" -> (args => TokenTf(arity("token_tf", 1)(args).head)),
     "dedup_lines" -> (args => DedupLines(arity("dedup_lines", 1)(args).head)),
+    "dedup_spans" -> (args => {
+      val a = arity("dedup_spans", 2)(args)
+      DedupSpans(a(0), intLit("dedup_spans", a(1)))
+    }),
+    "excise_spans" -> (args => {
+      val a = arity("excise_spans", 3)(args)
+      ExciseSpans(a(0), a(1), intLit("excise_spans", a(2)))
+    }),
     // aggregates: the analyzer wraps a bare AggregateFunction builder result
     "misra_gries" -> (args => {
       val a = arity("misra_gries", 2)(args)

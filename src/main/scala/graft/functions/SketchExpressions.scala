@@ -285,6 +285,117 @@ object SketchKernel {
     UTF8String.fromBytes(out)
   }
 
+  /** Within-document repeated-SPAN removal in one pass — the n-gram
+    * generalization of [[dedupLines]] (lines catch verbatim repeated
+    * lines; spans catch the looping-generator / template-stutter case
+    * where a phrase repeats mid-line). Semantics: over the single-space
+    * token split, every w-token shingle occurrence whose EXACT shingle
+    * already occurred at a smaller start index is a repeat; the union of
+    * repeat spans' token positions is struck; surviving tokens re-join
+    * with single spaces. Exact-bytes shingle keys (no hash collisions),
+    * deterministic from the text alone, and the FIRST occurrence always
+    * survives untouched at span start 0..w-1 — token 0 is provably never
+    * struck (a repeat starts at index >= 1), so a non-null input always
+    * keeps at least one token. Docs with fewer than w tokens have no
+    * shingles and pass through byte-identical. Map-only: repetition-heavy
+    * documents shrink before they cost a byte of shuffle. */
+  def dedupSpans(s: UTF8String, w: Int): UTF8String = {
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
+    if (nTokens < w) return s
+    val bytes = s.getBytes
+    val covered = new Array[Boolean](nTokens)
+    val first = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i + w <= nTokens) {
+      val from = starts(i)
+      val until = starts(i + w) - 1
+      val sh = UTF8String.fromBytes(bytes, from, until - from)
+      if (first.putIfAbsent(sh, i) != null) {
+        var k = i
+        while (k < i + w) { covered(k) = true; k += 1 }
+      }
+      i += 1
+    }
+    var kept = 0
+    var total = 0
+    var j = 0
+    while (j < nTokens) {
+      if (!covered(j)) { kept += 1; total += starts(j + 1) - 1 - starts(j) }
+      j += 1
+    }
+    if (kept == nTokens) return s
+    val out = new Array[Byte](total + kept - 1) // kept >= 1: token 0 survives
+    var pos = 0
+    var firstTok = true
+    j = 0
+    while (j < nTokens) {
+      if (!covered(j)) {
+        if (!firstTok) { out(pos) = ' '; pos += 1 }
+        firstTok = false
+        val len = starts(j + 1) - 1 - starts(j)
+        System.arraycopy(bytes, starts(j), out, pos, len)
+        pos += len
+      }
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Span EXCISION against externally-matched shingle start positions —
+    * the map-only reassembly half of span-level decontamination: `hits`
+    * holds token start indices of w-token spans to strike (the join
+    * against the benchmark shingle set produced them); the union of their
+    * token positions is removed and survivors re-join with single spaces.
+    * Returns (n_tokens, n_kept, clean): clean is NULL when every token
+    * was struck (unlike [[dedupSpans]], a benchmark can cover position 0),
+    * which keeps the all-struck case distinguishable from a surviving
+    * lone empty token (both would otherwise render as ""). Out-of-range
+    * hit indices clamp harmlessly. */
+  def exciseSpans(s: UTF8String, hits: ArrayData, w: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
+    val bytes = s.getBytes
+    val covered = new Array[Boolean](nTokens)
+    var x = 0
+    while (x < hits.numElements()) {
+      var k = math.max(hits.getInt(x), 0)
+      val end = math.min(hits.getInt(x).toLong + w, nTokens.toLong).toInt
+      while (k < end) { covered(k) = true; k += 1 }
+      x += 1
+    }
+    var kept = 0
+    var total = 0
+    var j = 0
+    while (j < nTokens) {
+      if (!covered(j)) { kept += 1; total += starts(j + 1) - 1 - starts(j) }
+      j += 1
+    }
+    val clean: UTF8String =
+      if (kept == 0) null
+      else if (kept == nTokens) s
+      else {
+        val out = new Array[Byte](total + kept - 1)
+        var pos = 0
+        var firstTok = true
+        j = 0
+        while (j < nTokens) {
+          if (!covered(j)) {
+            if (!firstTok) { out(pos) = ' '; pos += 1 }
+            firstTok = false
+            val len = starts(j + 1) - 1 - starts(j)
+            System.arraycopy(bytes, starts(j), out, pos, len)
+            pos += len
+          }
+          j += 1
+        }
+        UTF8String.fromBytes(out)
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens.toLong, kept.toLong, clean))
+  }
+
   /** The composite [0,1] quality score in ONE byte pass — bit-identical to
     * TextAnalysis.qualityScoreDeclarative (the q15/q38/q50 oracle formula):
     * every intermediate double op replays the declarative expression's
@@ -628,6 +739,42 @@ case class DedupLines(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dedup_lines"
 }
 
+case class DedupSpans(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"dedup_spans needs w >= 1, got $w")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"dedup_spans requires string input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernel.dedupSpans(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.dedupSpans($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): DedupSpans = copy(child = newChild)
+  override def prettyName: String = "dedup_spans"
+}
+
+case class ExciseSpans(left: Expression, right: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(w >= 1, s"excise_spans needs w >= 1, got $w")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_kept", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean", StringType, nullable = true)))
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"excise_spans requires (string, array<int>) inputs, got ${l.sql} and ${r.sql}")
+  }
+  override protected def nullSafeEval(text: Any, hits: Any): Any =
+    SketchKernel.exciseSpans(text.asInstanceOf[UTF8String], hits.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, h) => s"graft.functions.SketchKernel.exciseSpans($t, $h, $w)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ExciseSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "excise_spans"
+}
+
 case class TokenTf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -716,4 +863,9 @@ object SketchFunctions {
     ColumnBridge.column(TokenTf(ColumnBridge.expression(c)))
   def dedupLines(c: Column): Column =
     ColumnBridge.column(DedupLines(ColumnBridge.expression(c)))
+  def dedupSpans(c: Column, w: Int): Column =
+    ColumnBridge.column(DedupSpans(ColumnBridge.expression(c), w))
+  def exciseSpans(text: Column, hits: Column, w: Int): Column =
+    ColumnBridge.column(ExciseSpans(
+      ColumnBridge.expression(text), ColumnBridge.expression(hits), w))
 }

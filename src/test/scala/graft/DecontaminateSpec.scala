@@ -37,6 +37,45 @@ class DecontaminateSpec extends AnyFunSuite {
       (4L, 0L, 0L, false)))
   }
 
+  test("excise: matched spans struck, bystanders byte-identical, full leak -> NULL, nulls kept") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i"),      // head overlaps the benchmark phrase
+      (2L, "clean words entirely unrelated"),
+      (3L, "q w e"),                // == a full benchmark shingle: fully excised
+      (4L, null.asInstanceOf[String]),
+      (5L, "zz q w e r zz2")).toDF("doc_id", "text")
+    val bench = Seq((100L, "q w e r")).toDF("doc_id", "text")
+    val out = Decontaminate.excise(corpus, bench, "doc_id", "text", w = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    // bench 3-grams: "q w e", "w e r". doc 1: hits at 0 and 1 cover tokens
+    // 0..3 -> "t y u i" survives; doc 3 is exactly "q w e" -> all covered;
+    // doc 5: hits at 1 ("q w e") and 2 ("w e r") cover 1..4 -> "zz zz2"
+    assert(out == Seq(
+      (1L, 8L, 2L, 4L, "t y u i"),
+      (2L, 4L, 0L, 4L, "clean words entirely unrelated"),
+      (3L, 3L, 1L, 0L, null),
+      (4L, 0L, 0L, 0L, null),
+      (5L, 6L, 2L, 2L, "zz zz2")))
+  }
+
+  test("excise is partitioning-independent and SQL-surface excise_spans agrees") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val a = Decontaminate.excise(docs, bench, "doc_id", "text", w = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Decontaminate.excise(docs.repartition(7, col("doc_id")), bench,
+      "doc_id", "text", w = 5).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // the registered SQL function drives the same kernel
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT excise_spans('a b c d e', array(1), 2) AS ex").collect().head.getStruct(0)
+    assert(viaSql.getLong(0) == 5L && viaSql.getLong(1) == 3L &&
+      viaSql.getString(2) == "a d e")
+  }
+
   test("flag == brute-force set overlap on the documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.where(col("doc_id") % 50 === 0)

@@ -278,6 +278,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup spans: within-doc span removal is map-only — zero exchanges over the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.dedupSpans(col("text"), 5).as("ds"))
+    assert(collectShuffles(out).isEmpty)
+  }
+
+  test("excise spans: match exchanges carry (id, pos, md5); text rides only id-keyed exchanges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.Decontaminate.excise(docs,
+      docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 5)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      // the chunk explode must collapse to (id, pos, sh) before any exchange
+      assert(!names.exists(n => n == "c" || n == "chunk"),
+        s"shuffle carries ${names.mkString(",")}")
+      if (names.contains("text")) {
+        val part = s.outputPartitioning.toString
+        assert(part.contains("id#") && !part.contains("sh#"),
+          s"text-carrying exchange not id-keyed: $part")
+      }
+    }
+  }
+
   test("heavy hitters: sketch partial-agg + broadcast semi join, no token-keyspace shuffle before it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hh = graft.operators.TextAnalysis.heavyHitterTokens(docs, "text", minFreq = 500)

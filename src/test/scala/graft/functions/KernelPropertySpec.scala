@@ -94,6 +94,59 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans == reference coverage-union removal for random token streams") {
+    val rnd = new scala.util.Random(19)
+    // tiny vocab with a doubled entry: repeats are common, empties included
+    val vocab = Array("", "a", "bb", "cc", "a", "word")
+    def reference(text: String, w: Int): String = {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      if (n < w) return text
+      val first = scala.collection.mutable.HashMap[String, Int]()
+      val covered = Array.fill(n)(false)
+      for (i <- 0 to n - w) {
+        val sh = toks.slice(i, i + w).mkString(" ")
+        if (first.contains(sh)) (i until i + w).foreach(covered(_) = true)
+        else first(sh) = i
+      }
+      toks.indices.filterNot(covered).map(toks).mkString(" ")
+    }
+    for (trial <- 1 to 3000) {
+      val w = 1 + rnd.nextInt(4)
+      val nTok = rnd.nextInt(25)
+      val text = Array.fill(nTok max 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val got = SketchKernel.dedupSpans(UTF8String.fromString(text), w).toString
+      assert(got == reference(text, w), s"trial=$trial w=$w text='$text'")
+      // the first token provably always survives
+      assert(got.split(" ", -1).head == text.split(" ", -1).head, s"trial=$trial")
+    }
+  }
+
+  test("exciseSpans == reference coverage excision for random (clamped) hit sets") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("", "a", "bb", "cc")
+    for (trial <- 1 to 3000) {
+      val w = 1 + rnd.nextInt(4)
+      val nTok = 1 + rnd.nextInt(20)
+      val toks = Array.fill(nTok)(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      // hit starts include out-of-range values on both ends: must clamp
+      val hits = Array.fill(rnd.nextInt(6))(rnd.nextInt(nTok + 4) - 2)
+      val covered = Array.fill(nTok)(false)
+      hits.foreach { h =>
+        (math.max(h, 0) until math.min(h + w, nTok)).foreach(covered(_) = true)
+      }
+      val keptToks = toks.indices.filterNot(covered).map(toks)
+      val row = SketchKernel.exciseSpans(UTF8String.fromString(text),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.map(x => x: Any)), w)
+      assert(row.getLong(0) == nTok.toLong, s"trial=$trial n_tokens")
+      assert(row.getLong(1) == keptToks.length.toLong, s"trial=$trial n_kept")
+      if (keptToks.isEmpty) assert(row.isNullAt(2), s"trial=$trial expected null clean")
+      else assert(row.getUTF8String(2).toString == keptToks.mkString(" "),
+        s"trial=$trial w=$w text='$text' hits=${hits.mkString(",")}")
+    }
+  }
+
   test("QuantileBuffer: exact n, sorted-survivor ranks track targets under random merge splits") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 200) {

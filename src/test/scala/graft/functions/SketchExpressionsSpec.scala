@@ -191,4 +191,23 @@ class SketchExpressionsSpec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(5), r)
     }
   }
+
+  test("dedup_spans: repeats struck, pass-throughs byte-identical, SQL surface wired") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      "a b c d a b c e",       // repeated "a b" at pos 4 -> strikes 4..5
+      "x y z",                 // no repeats: byte-identical
+      "a  b a  b",             // empty tokens repeat too
+      "t t t t t").toDF("text")
+    val out = df.select(col("text"),
+      SketchFunctions.dedupSpans(col("text"), 2).as("native"),
+      expr("dedup_spans(text, 2)").as("sql")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2), r))
+    // repeats at 4 ("a b") and 5 ("b c") cover tokens 4..6 -> "e" survives
+    assert(out(0).getString(1) == "a b c d e")
+    assert(out(1).getString(1) == "x y z")
+    // "t t t t t": shingles at 0..3 all "t t"; repeats at 1,2,3 cover 1..4
+    assert(out(3).getString(1) == "t")
+  }
 }
