@@ -4,11 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import graft.sources.CrawlCorpus.splitmix64
 
-/** The deterministic mutation engine (14 kinds), shared by FuzzSpec and
+/** The deterministic mutation engine (16 kinds), shared by FuzzSpec and
   * the large out-of-band sweeps (FuzzSweep). */
 object FuzzMutations {
+  val Kinds = 16L
   def mutate(base: Array[Byte], seed: Long): Array[Byte] = {
-    val kind = math.floorMod(splitmix64(seed), 14L).toInt
+    val kind = math.floorMod(splitmix64(seed), Kinds).toInt
     val b = base.clone()
     def idx(k: Long): Int =
       if (b.length == 0) 0 else math.floorMod(splitmix64(seed ^ k), b.length.toLong).toInt
@@ -77,7 +78,7 @@ object FuzzMutations {
           .getBytes(ISO_8859_1)
         java.util.Arrays.copyOfRange(b, 0, idx(16)) ++ tok ++
           java.util.Arrays.copyOfRange(b, idx(16).min(b.length), b.length)
-      case _ => // cross-document password material (round-4 widening):
+      case 13 => // cross-document password material (round-4 widening):
         // splice another fixture's tail UNDER an injected security handler
         // whose V/R/Length/O/U shapes disagree with it — key derivation and
         // password verification must fail per-document, never hang or throw
@@ -88,6 +89,29 @@ object FuzzMutations {
           .getBytes(ISO_8859_1)
         java.util.Arrays.copyOfRange(b, 0, idx(18)) ++ tok ++
           java.util.Arrays.copyOfRange(other, idx(19).min(other.length - 1).max(0), other.length)
+      case 14 => // content-stream text-operator + CMap bombs (round-5
+        // widening): giant Tf sizes, dense TJ arrays, quote/doublequote
+        // shows and bfrange spans aimed at the BT..ET scan, the
+        // width-stride decode and the MaxCmapSize guard
+        val tok = (" BT /F1 2147483647 Tf [(a) 1 (b) -2147483648 (c)] TJ " +
+          "(x) Tj (y) ' (z) \" ET BT ET BT /ToUnicode 1 0 R " +
+          "begincmap beginbfrange <0000> <ffff> <0041> endbfrange " +
+          "beginbfchar <20> <0020> endbfchar endcmap /Widths [1 2 3] Tz Tc Tw TL Td TD Tm T* ")
+          .getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(20)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(20).min(b.length), b.length)
+      case _ => // name-tree / action / embedded-file walk bombs (round-5
+        // widening): /Names kid cycles, JavaScript+URI actions, file specs
+        // with the trailing-space quirk — aimed at the recursive extraction
+        // walk (G1-G7), not the parser
+        val tok = (" /Names <</EmbeddedFiles <</Kids [1 0 R 1 0 R] /Names [(f) 1 0 R]>> " +
+          "/JavaScript <</Names [(js) 1 0 R]>>>> /OpenAction <</S /JavaScript /JS (p)>> " +
+          "/AA <</O 1 0 R /C 1 0 R>> /A <</S /URI /URI (http://x/)>> " +
+          "/EF <</F 1 0 R /UF 1 0 R>> /F (name.bin ) /UF (uni.bin ) /Desc (d) " +
+          "/Annots [<</A <</URI (u)>>>> <</A 1 0 R>>] /Kids [1 0 R] /Limits [(a) (z)] ")
+          .getBytes(ISO_8859_1)
+        java.util.Arrays.copyOfRange(b, 0, idx(21)) ++ tok ++
+          java.util.Arrays.copyOfRange(b, idx(21).min(b.length), b.length)
     }
   }
 }
@@ -119,7 +143,7 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("mutation fuzz: fixture mutations (14 kinds), zero internal failures, all < 1 s") {
+  test("mutation fuzz: fixture mutations (16 kinds), zero internal failures, all < 1 s") {
     for (fi <- Fixtures.all.indices; s <- 0 until 100)
       check(mutate(Fixtures.all(fi)._2, fi * 100000L + s), s"${Fixtures.names(fi)}#$s")
   }
@@ -183,11 +207,11 @@ class FuzzSpec extends AnyFunSuite {
 
   test("cross-document password mutations: mismatched V/R/O/U shapes fail per-document, fast") {
     val enc = Fixtures.bytes("encrypted.pdf")
-    // the mutator scrambles the seed (splitmix64) before the mod-14 kind
-    // pick, so "seed ≡ 13 (mod 14)" does NOT select kind 13 — scan seeds
-    // and keep exactly those that land in the cross-document lane
+    // the mutator scrambles the seed (splitmix64) before the mod-Kinds
+    // pick, so "seed ≡ 13 (mod Kinds)" does NOT select kind 13 — scan
+    // seeds and keep exactly those that land in the cross-document lane
     val kind13Seeds = Iterator.from(0).map(_.toLong)
-      .filter(s => math.floorMod(splitmix64(s), 14L) == 13L).take(200).toSeq
+      .filter(s => math.floorMod(splitmix64(s), FuzzMutations.Kinds) == 13L).take(200).toSeq
     for ((seed, s) <- kind13Seeds.zipWithIndex) {
       val m = FuzzMutations.mutate(enc, seed)
       for (pw <- Seq("", "wrong", "a" * 127)) {
@@ -197,6 +221,31 @@ class FuzzSpec extends AnyFunSuite {
         assert((System.nanoTime() - t0) / 1e6 < 2000, s"xpw#$s/$pw slow")
       }
     }
+  }
+
+  test("text-operator bombs on a REAL content stream: TJ floods and bfrange spans terminate clean") {
+    // a valid page tree whose contents stream actually REACHES the BT..ET
+    // scanner and CMap builder — unlike token injection, these operators run
+    def doc(contents: String, toUnicode: String = ""): Array[Byte] = {
+      val tu = if (toUnicode.isEmpty) ""
+        else s"5 0 obj\n<</Length ${toUnicode.length}>>\nstream\n$toUnicode\nendstream\nendobj\n"
+      val fontTU = if (toUnicode.isEmpty) "" else " /ToUnicode 5 0 R"
+      ("%PDF-1.7\n1 0 obj\n<</Type /Catalog /Pages 2 0 R>>\nendobj\n" +
+        "2 0 obj\n<</Type /Pages /Kids [3 0 R] /Count 1>>\nendobj\n" +
+        s"3 0 obj\n<</Type /Page /Contents 4 0 R /Resources <</Font <</F1 <</BaseFont /H$fontTU>>>>>>>>\nendobj\n" +
+        s"4 0 obj\n<</Length ${contents.length}>>\nstream\n$contents\nendstream\nendobj\n" +
+        tu + "trailer <</Root 1 0 R>>\n").getBytes(ISO_8859_1)
+    }
+    val tjFlood = "BT /F1 1 Tf [" + ("(a) 5 " * 20000) + "] TJ ET"
+    val btFlood = ("BT ET " * 20000) + "BT /F1 1 Tf (x) Tj ET"
+    val quoteOps = "BT /F1 1 Tf (l1) ' (l2) \" (l3) Tj T* TL 5 Td ET"
+    val hugeRange = "/CIDInit begincmap 1 beginbfrange <0000> <ffff> <0041> endbfrange endcmap"
+    val badRange = "begincmap 1 beginbfrange <ff> <00> <41> endbfrange 1 beginbfchar <20> endbfchar endcmap"
+    check(doc(tjFlood), "tj-flood")
+    check(doc(btFlood), "bt-flood")
+    check(doc(quoteOps), "quote-ops")
+    check(doc("BT /F1 1 Tf (x) Tj ET", hugeRange), "bfrange-64k")
+    check(doc("BT /F1 1 Tf (x) Tj ET", badRange), "bfrange-inverted")
   }
 
   test("adversarial shapes: reference webs, kid meshes, xfa floods") {

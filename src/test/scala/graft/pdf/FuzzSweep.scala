@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Opt-in large fuzz sweep (skipped unless GRAFT_SWEEP=1 is set; run with
   * `GRAFT_SWEEP=1 sbt "testOnly graft.pdf.FuzzSweep"`): ~120k mutated
   * documents across every fixture, the crafted ObjStm document and
-  * encrypted.pdf, all 12 mutation kinds, both /ObjStm expansion modes,
+  * encrypted.pdf, all 16 mutation kinds, both /ObjStm expansion modes,
   * parallel across cores. The per-round evidence for the "zero internal
   * failures at >=50k docs" bar. */
 class FuzzSweep extends AnyFunSuite {
