@@ -13,7 +13,8 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   <input: crawl parquet dir | synth:N> <output root> \
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
-  *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR]
+  *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
+  *   [--dedup-spans W]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -36,7 +37,7 @@ object Extract {
       objectStreams: Boolean = false, sinks: Boolean = false,
       curate: Boolean = false, partitions: Int = 0,
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
-      decontaminate: String = null)
+      decontaminate: String = null, dedupSpansW: Int = 0)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -58,6 +59,7 @@ object Extract {
         case "--curate"           => a = a.copy(curate = true); i += 1
         case "--strip-boilerplate" => a = a.copy(stripBoilerplate = true); i += 1
         case "--decontaminate"    => a = a.copy(decontaminate = value("--decontaminate")); i += 2
+        case "--dedup-spans"      => a = a.copy(dedupSpansW = value("--dedup-spans").toInt); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -71,6 +73,9 @@ object Extract {
       "--strip-boilerplate only affects the curated snapshot: pass --curate too")
     require(a.decontaminate == null || a.curate,
       "--decontaminate only affects the curated snapshot: pass --curate too")
+    require(a.dedupSpansW == 0 || a.curate,
+      "--dedup-spans only affects the curated snapshot: pass --curate too")
+    require(a.dedupSpansW >= 0, "--dedup-spans width must be positive")
     a
   }
 
@@ -208,7 +213,8 @@ object Extract {
           xxhash64(col("url")).as("doc_id"),
           decode(col("contents"), "UTF-8").as("text")),
         stripBoilerplate = a.stripBoilerplate,
-        decontaminateAgainst = benchmark)
+        decontaminateAgainst = benchmark,
+        dedupSpansW = a.dedupSpansW)
       new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round
       // frontier size + rounds-to-convergence) — the monitoring signal a

@@ -36,7 +36,18 @@ object Curate {
              stripBoilerplate: Boolean = false,
              boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 30L,
              decontaminateAgainst: DataFrame = null,
-             decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L): DataFrame = {
+             decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L,
+             dedupSpansW: Int = 0): DataFrame = {
+    // -1. optional WITHIN-doc repeated-span removal (dedupSpansW > 0) as
+    // the very first rewrite: it is a pure map over each document alone
+    // (zero shuffle), so it runs before any cross-document stage — a
+    // repetition-stuffed page should be judged (quality gate, dedup
+    // shingles, token counts) on its deduped content, and its struck spans
+    // must not occupy pack budget
+    val docs0 =
+      if (dedupSpansW <= 0) docs
+      else docs.withColumn(textCol,
+        graft.functions.SketchFunctions.dedupSpans(col(textCol), dedupSpansW))
     // 0. optional cross-doc boilerplate line removal BEFORE the gates:
     // template lines inflate quality scores and glue unrelated pages into
     // near-dup clusters, so when enabled the downstream pipeline (scores,
@@ -59,11 +70,11 @@ object Curate {
     // near-dup stage could keep a representative; any cluster smaller
     // than minDocs cannot trip the threshold on its own.
     val input =
-      if (!stripBoilerplate) docs
+      if (!stripBoilerplate) docs0
       else {
-        val keep = docs.groupBy(md5(col(textCol)).as("__md5"))
+        val keep = docs0.groupBy(md5(col(textCol)).as("__md5"))
           .agg(min(col(idCol)).as(idCol)).select(idCol)
-        WebCuration.stripBoilerplate(docs.join(keep, Seq(idCol), "left_semi"),
+        WebCuration.stripBoilerplate(docs0.join(keep, Seq(idCol), "left_semi"),
             idCol, textCol, chunk = boilerplateChunk, minDocs = boilerplateMinDocs,
             reliableCheckpoint = reliableCheckpoint)
           .select(col("id").as(idCol), col("clean_text").as(textCol))

@@ -53,6 +53,28 @@ class CurateSpec extends AnyFunSuite {
       }
   }
 
+  test("dedupSpansW stage: within-doc repeats struck before every gate; off by default") {
+    // inject intra-doc repetition: each doc's first 12 tokens appended
+    // twice — the span stage must judge the doc on its deduped content
+    val stuffed = docs.withColumn("text",
+      when(col("text").isNotNull, concat_ws(" ", col("text"),
+        array_join(slice(split(col("text"), " "), 1, 12), " "),
+        array_join(slice(split(col("text"), " "), 1, 12), " ")))
+        .otherwise(col("text")))
+    val staged = Curate.curate(stuffed, dedupSpansW = 5)
+      .collect().map(_.toString).sorted.toSeq
+    // contract: the stage IS a pre-transform of the input text, nothing else
+    val preTransformed = Curate.curate(stuffed.withColumn("text",
+        graft.functions.SketchFunctions.dedupSpans(col("text"), 5)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(staged == preTransformed && staged.nonEmpty)
+    // the struck repeats must not occupy pack budget: token sums shrink
+    val nStaged = Curate.curate(stuffed, dedupSpansW = 5)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    val nRaw = Curate.curate(stuffed).agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(nStaged < nRaw, s"staged=$nStaged raw=$nRaw")
+  }
+
   test("packing is per-language monotone with budget-sized pack ids") {
     val out = Curate.curate(docs, packBudget = 256)
       .orderBy("detected_lang", "doc_id").collect()
