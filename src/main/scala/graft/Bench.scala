@@ -203,7 +203,9 @@ object Bench {
       .map { case (k, best, med) => "\"" + k + "\":{\"best\":" + f"$best%.3f" + ",\"median\":" + f"$med%.3f" + "}" }
       .mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
-    val pinned = m2.pinned && m8.pinned && m32.pinned
+    // the sustained leg's pinning counts too: an unpinned 4x-corpus run
+    // must not hide under cpu_pinned=true
+    val pinned = m2.pinned && m8.pinned && m32.pinned && mSus.forall(_.pinned)
     if (!pinned)
       System.err.println("[bench] WARNING: cpu_pinned=false — taskset unavailable, " +
         "the small-parallelism configs used idle cores; the N->4N wall-clock " +

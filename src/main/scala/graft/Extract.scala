@@ -59,7 +59,10 @@ object Extract {
         case "--curate"           => a = a.copy(curate = true); i += 1
         case "--strip-boilerplate" => a = a.copy(stripBoilerplate = true); i += 1
         case "--decontaminate"    => a = a.copy(decontaminate = value("--decontaminate")); i += 2
-        case "--dedup-spans"      => a = a.copy(dedupSpansW = value("--dedup-spans").toInt); i += 2
+        case "--dedup-spans"      =>
+          val w = value("--dedup-spans").toInt
+          require(w >= 1, s"--dedup-spans width must be >= 1, got $w")
+          a = a.copy(dedupSpansW = w); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -75,7 +78,6 @@ object Extract {
       "--decontaminate only affects the curated snapshot: pass --curate too")
     require(a.dedupSpansW == 0 || a.curate,
       "--dedup-spans only affects the curated snapshot: pass --curate too")
-    require(a.dedupSpansW >= 0, "--dedup-spans width must be positive")
     a
   }
 

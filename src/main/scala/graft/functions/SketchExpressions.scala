@@ -317,6 +317,16 @@ object SketchKernel {
       }
       i += 1
     }
+    // never null here: a repeat starts at index >= 1, so token 0 survives
+    reassembleUncovered(s, bytes, starts, covered)._2
+  }
+
+  /** Shared coverage-reassembly tail of [[dedupSpans]] / [[exciseSpans]]:
+    * (kept count, surviving tokens joined by single spaces). The string is
+    * `s` itself when nothing was covered and null when everything was. */
+  private def reassembleUncovered(s: UTF8String, bytes: Array[Byte],
+      starts: Array[Int], covered: Array[Boolean]): (Int, UTF8String) = {
+    val nTokens = starts.length - 1
     var kept = 0
     var total = 0
     var j = 0
@@ -324,8 +334,9 @@ object SketchKernel {
       if (!covered(j)) { kept += 1; total += starts(j + 1) - 1 - starts(j) }
       j += 1
     }
-    if (kept == nTokens) return s
-    val out = new Array[Byte](total + kept - 1) // kept >= 1: token 0 survives
+    if (kept == 0) return (0, null)
+    if (kept == nTokens) return (kept, s)
+    val out = new Array[Byte](total + kept - 1)
     var pos = 0
     var firstTok = true
     j = 0
@@ -339,7 +350,7 @@ object SketchKernel {
       }
       j += 1
     }
-    UTF8String.fromBytes(out)
+    (kept, UTF8String.fromBytes(out))
   }
 
   /** Span EXCISION against externally-matched shingle start positions —
@@ -351,7 +362,9 @@ object SketchKernel {
     * was struck (unlike [[dedupSpans]], a benchmark can cover position 0),
     * which keeps the all-struck case distinguishable from a surviving
     * lone empty token (both would otherwise render as ""). Out-of-range
-    * hit indices clamp harmlessly. */
+    * hit indices clamp harmlessly; null hit slots strike nothing (a null
+    * position is no position — unboxing it to 0 would silently strike the
+    * document head). */
   def exciseSpans(s: UTF8String, hits: ArrayData, w: Int):
       org.apache.spark.sql.catalyst.InternalRow = {
     val starts = tokenStarts(s)
@@ -360,38 +373,14 @@ object SketchKernel {
     val covered = new Array[Boolean](nTokens)
     var x = 0
     while (x < hits.numElements()) {
-      var k = math.max(hits.getInt(x), 0)
-      val end = math.min(hits.getInt(x).toLong + w, nTokens.toLong).toInt
-      while (k < end) { covered(k) = true; k += 1 }
+      if (!hits.isNullAt(x)) {
+        var k = math.max(hits.getInt(x), 0)
+        val end = math.min(hits.getInt(x).toLong + w, nTokens.toLong).toInt
+        while (k < end) { covered(k) = true; k += 1 }
+      }
       x += 1
     }
-    var kept = 0
-    var total = 0
-    var j = 0
-    while (j < nTokens) {
-      if (!covered(j)) { kept += 1; total += starts(j + 1) - 1 - starts(j) }
-      j += 1
-    }
-    val clean: UTF8String =
-      if (kept == 0) null
-      else if (kept == nTokens) s
-      else {
-        val out = new Array[Byte](total + kept - 1)
-        var pos = 0
-        var firstTok = true
-        j = 0
-        while (j < nTokens) {
-          if (!covered(j)) {
-            if (!firstTok) { out(pos) = ' '; pos += 1 }
-            firstTok = false
-            val len = starts(j + 1) - 1 - starts(j)
-            System.arraycopy(bytes, starts(j), out, pos, len)
-            pos += len
-          }
-          j += 1
-        }
-        UTF8String.fromBytes(out)
-      }
+    val (kept, clean) = reassembleUncovered(s, bytes, starts, covered)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTokens.toLong, kept.toLong, clean))
   }

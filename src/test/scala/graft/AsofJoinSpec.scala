@@ -80,17 +80,13 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(sharded.toSeq == plain.toSeq, s"shardSeconds=$shardSec")
     }
     // reliable-checkpoint durability mode: same rows through the durable
-    // df.checkpoint() path (requires a checkpoint dir; restore state after)
-    val sc = spark.sparkContext
-    val prevDir = sc.getCheckpointDir
-    val tmp = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
-    try {
-      sc.setCheckpointDir(tmp)
+    // df.checkpoint() path (needs a checkpoint dir; deterministic restore)
+    SparkTestBase.withCheckpointDir {
       val reliable = AsofJoin.asofJoinSharded(purchases, views, Seq("user_id"), "ts", "view_ts",
         Seq("view_event_id", "view_ts"), shardSeconds = 86400L, reliableCheckpoint = true)
         .orderBy("event_id").collect()
       assert(reliable.toSeq == plain.toSeq, "reliableCheckpoint=true must be row-identical")
-    } finally prevDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   test("SQL recipe handles catalog-qualified table names (global_temp.x)") {

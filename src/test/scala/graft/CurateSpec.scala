@@ -61,16 +61,16 @@ class CurateSpec extends AnyFunSuite {
         array_join(slice(split(col("text"), " "), 1, 12), " "),
         array_join(slice(split(col("text"), " "), 1, 12), " ")))
         .otherwise(col("text")))
-    val staged = Curate.curate(stuffed, dedupSpansW = 5)
-      .collect().map(_.toString).sorted.toSeq
+    val stagedRows = Curate.curate(stuffed, dedupSpansW = 5).collect()
+    val staged = stagedRows.map(_.toString).sorted.toSeq
     // contract: the stage IS a pre-transform of the input text, nothing else
     val preTransformed = Curate.curate(stuffed.withColumn("text",
         graft.functions.SketchFunctions.dedupSpans(col("text"), 5)))
       .collect().map(_.toString).sorted.toSeq
     assert(staged == preTransformed && staged.nonEmpty)
     // the struck repeats must not occupy pack budget: token sums shrink
-    val nStaged = Curate.curate(stuffed, dedupSpansW = 5)
-      .agg(sum("n_tokens")).collect().head.getLong(0)
+    // (n_tokens is column 2 of the already-collected staged rows)
+    val nStaged = stagedRows.map(_.getAs[Number](2).longValue).sum
     val nRaw = Curate.curate(stuffed).agg(sum("n_tokens")).collect().head.getLong(0)
     assert(nStaged < nRaw, s"staged=$nStaged raw=$nRaw")
   }

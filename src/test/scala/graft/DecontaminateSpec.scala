@@ -74,6 +74,23 @@ class DecontaminateSpec extends AnyFunSuite {
       "SELECT excise_spans('a b c d e', array(1), 2) AS ex").collect().head.getStruct(0)
     assert(viaSql.getLong(0) == 5L && viaSql.getLong(1) == 3L &&
       viaSql.getString(2) == "a d e")
+    // a null hit slot strikes NOTHING (unboxing it to 0 would strike the head)
+    val nullHit = spark.sql(
+      "SELECT excise_spans('a b c d e', array(CAST(NULL AS int), 3), 2) AS ex")
+      .collect().head.getStruct(0)
+    assert(nullHit.getLong(1) == 3L && nullHit.getString(2) == "a b c")
+  }
+
+  test("excise keeps a null-id corpus row (null-safe anchor join, matching flag)") {
+    val corpus = Seq((Option(1L), "q w e r"), (None: Option[Long], "q w e zz"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "q w e")).toDF("doc_id", "text")
+    val out = Decontaminate.excise(corpus, bench, "doc_id", "text", w = 3)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the null-id row survives; its shingles never id-equality-match the
+    // hits side, so it reports 0 matches — flag's exact contract
+    assert(out == Set((1L, 4L, 1L, 1L), (-1L, 4L, 0L, 4L)))
   }
 
   test("flag == brute-force set overlap on the documents table") {

@@ -18,6 +18,21 @@ object SparkTestBase {
     s
   }
 
+  /** Run `f` with the SparkContext checkpoint dir set to a fresh temp dir,
+    * then restore. A checkpoint dir cannot be UNSET on a live context, so
+    * when none was set before, restore points at this stable session-wide
+    * fallback instead of the test's own (about-to-vanish) directory —
+    * deterministic state regardless of suite ordering. */
+  lazy val fallbackCheckpointDir: String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt_fallback").toString
+  def withCheckpointDir[T](f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    try f
+    finally sc.setCheckpointDir(prev.getOrElse(fallbackCheckpointDir))
+  }
+
   /** All messages down a throwable's cause chain — Spark wraps executor
     * raise_error failures several layers deep, so guard specs search the
     * whole chain for the operator's message. */

@@ -157,15 +157,11 @@ class TfIdfSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plain = TfIdf.distinctiveTerms(docs, "doc_id", "text", k = 2)
       .orderBy("id", "rnk").collect().map(_.toString).toSeq
-    val sc = spark.sparkContext
-    val prevDir = sc.getCheckpointDir
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tfidf_ckpt").toString
-    try {
-      sc.setCheckpointDir(tmp)
+    SparkTestBase.withCheckpointDir {
       val reliable = TfIdf.distinctiveTerms(docs, "doc_id", "text", k = 2,
         materialize = true, reliableCheckpoint = true)
         .orderBy("id", "rnk").collect().map(_.toString).toSeq
       assert(reliable == plain)
-    } finally prevDir.foreach(sc.setCheckpointDir)
+    }
   }
 }

@@ -63,11 +63,8 @@ class StreamingCurationSpec extends AnyFunSuite {
   }
 
   test("reliable-checkpoint mode converges to batch (durability flag threads through)") {
-    val sc = spark.sparkContext
-    val prevDir = sc.getCheckpointDir
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_rel").toString
-    try {
-      sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft_scur_ckdir").toString)
+    SparkTestBase.withCheckpointDir {
       val d1 = Seq((1L, "shared nav body one"), (2L, "solo text here now")).toDF("id", "text")
       val d2 = Seq((3L, "shared nav body three")).toDF("id", "text")
       StreamingCuration.processBatch(d1, stateRoot, chunk = 2, minDocs = 2L,
@@ -76,7 +73,7 @@ class StreamingCurationSpec extends AnyFunSuite {
         "b00000001", reliableCheckpoint = true)
       val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
       assert(cleanRows(stateRoot) == batchRows(all))
-    } finally prevDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   test("re-delivered ids are dropped first-seen-wins, not double-counted") {

@@ -31,8 +31,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)):
             return tuple(cell(x) for x in v)
         if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
-            t = v.tolist()
-            return cell(t) if isinstance(t, list) else cell(t)
+            return cell(v.tolist())
         if v is None or v != v:  # None/NaN: normalize for sort comparability
             return None
         if isinstance(v, bool):
