@@ -476,6 +476,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-document keep-first SPAN dedup (Lee et al. exact-substring
+    // discipline — the family's last member after q55/q57/q58): every
+    // distinct 5-token shingle survives only at its lexicographically
+    // first (doc, pos) occurrence; injected duplicate docs lose every
+    // full-width span to their originals and excise to NULL
+    "q60_keep_first_spans" -> ((s, dir) =>
+      WebCuration.keepFirstSpans(docsWithDups(s, dir), "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans_struck"),
+          col("n_kept"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // span-LEVEL decontamination (q52's surgical sibling): token spans
     // matching a benchmark 5-gram shingle are excised, the rest of the
     // document survives; benchmark = every 50th doc, so benchmark members
@@ -1315,6 +1326,52 @@ object SparkEntry {
                 md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS clean_md5
          FROM toks tk JOIN kept k USING (doc_id)
          GROUP BY tk.doc_id, len(tk.t)
+         ORDER BY doc_id""",
+
+    // q57's doubled corpus + q59's coverage-excision shape; the winner key
+    // doc_id*100000+pos encodes the lexicographic (doc_id, pos) min
+    // exactly because pos < 100000 for every document in this corpus
+    "q60_keep_first_spans" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM docs WHERE text IS NOT NULL
+         ), sh AS (
+           SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+           FROM toks, unnest(range(len(t) - 4)) AS u(i)
+         ), win AS (
+           SELECT h, min(doc_id * 100000 + i) AS wk FROM sh GROUP BY h
+         ), struck AS (
+           SELECT s.doc_id, s.i FROM sh s JOIN win USING (h)
+           WHERE s.doc_id * 100000 + s.i <> win.wk
+         ), cover AS (
+           SELECT DISTINCT doc_id, i + k AS pos FROM struck, unnest(range(5)) AS u(k)
+         ), tokpos AS (
+           SELECT doc_id, i AS pos, t[i+1] AS tok
+           FROM toks, unnest(range(len(t))) AS u(i)
+         ), kept AS (
+           SELECT tp.doc_id, tp.pos, tp.tok
+           FROM tokpos tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+           WHERE c.pos IS NULL
+         ), keptagg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           FROM kept GROUP BY doc_id
+         ), ns AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_struck
+           FROM struck GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(ns.n_spans_struck, 0) AS BIGINT) AS n_spans_struck,
+                CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+                ka.clean_md5
+         FROM (SELECT doc_id FROM docs) d
+         LEFT JOIN toks tk USING (doc_id)
+         LEFT JOIN ns USING (doc_id)
+         LEFT JOIN keptagg ka USING (doc_id)
          ORDER BY doc_id""",
 
     // q52's benchmark construction at w=5; matched occurrences cover

@@ -148,6 +148,58 @@ object WebCuration {
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
   }
 
+  /** Cross-document KEEP-FIRST SPAN dedup — the "Deduplicating Training
+    * Data" (Lee et al.) exact-substring discipline at w-token span
+    * granularity, completing the exact-dup family: [[keepFirstLines]]
+    * strikes later copies of whole LINES; this strikes later copies of
+    * every repeated w-token SPAN, across documents and within them (the
+    * within-doc case is `dedup_spans`' coverage rule with a global
+    * first-occurrence order).
+    *
+    * Every distinct w-token shingle keeps exactly its lexicographically
+    * first (id, pos) occurrence; all other occurrences are struck and the
+    * union of their token positions excised ([[graft.functions.SketchKernel.exciseSpans]]).
+    * Output: (id, n_tokens, n_spans_struck, n_kept, clean_text) —
+    * clean_text NULL when every token was covered (a fully-duplicated
+    * document) or the text was null. Ids must be unique (checked anchor).
+    *
+    * Scale shape, same discipline as [[keepFirstLines]]: the winner per
+    * shingle md5 is a map-side-combined min-struct AGGREGATE (never a
+    * window over the md5 keyspace — a boilerplate span recurring in
+    * millions of documents costs a partial-agg cell, not a hot
+    * partition); every md5-keyed exchange carries (id, pos-int, md5)
+    * triples only; struck positions collapse to ONE int-array row per
+    * affected document; document text rides exactly one id-keyed
+    * exchange, into the map-side excision that is the output. */
+  def keepFirstSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 13, materialize: Boolean = true,
+                     reliableCheckpoint: Boolean = false): DataFrame = {
+    val occ0 = Decontaminate.shingleOccurrences(df, idCol, textCol, w)
+    val occ = if (materialize) Dedup.checkpointDf(occ0, reliableCheckpoint) else occ0
+    val winners = occ.groupBy(col("sh"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val struck = occ.join(winners, Seq("sh"))
+      .where(struct(col("id"), col("pos")) =!= col("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans_struck"),
+        sort_array(collect_list(col("pos"))).as("hits"))
+    val ex = graft.functions.SketchFunctions.exciseSpans(col("text"),
+      coalesce(col("hits"), array().cast("array<int>")), w)
+    // null-safe text join-back, mirroring Decontaminate.exciseAgainstShingles
+    val anchor = Dedup.checkedIdAnchor(df, idCol, "WebCuration.keepFirstSpans").alias("__a")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text")).alias("__b")
+    anchor.join(base, col("__a.id") <=> col("__b.id"))
+      .select(col("__b.id").as("id"), col("__b.text").as("text"))
+      .join(struck, Seq("id"), "left")
+      .select(col("id"), ex.as("ex"),
+        coalesce(col("n_spans_struck"), lit(0L)).as("n_spans_struck"))
+      .select(col("id"),
+        coalesce(col("ex.n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_spans_struck"),
+        coalesce(col("ex.n_kept"), lit(0L)).as("n_kept"),
+        col("ex.clean").as("clean_text"))
+  }
+
   // ---------- PII ----------
 
   /** Conservative ASCII PII patterns, deliberately restricted to syntax

@@ -305,6 +305,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-first spans: winner is an aggregate (no window); text rides only id-keyed exchanges") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.WebCuration.keepFirstSpans(docs, "doc_id", "text", w = 5)
+    withAqeOff {
+      assert(out.queryExecution.executedPlan.collect { case w: WindowExec => w }.isEmpty,
+        "keepFirstSpans must not plan a window")
+    }
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "c" || n == "chunk"),
+        s"shuffle carries ${names.mkString(",")}")
+      if (names.contains("text")) {
+        val part = s.outputPartitioning.toString
+        assert(part.contains("id#") && !part.contains("sh#"),
+          s"text-carrying exchange not id-keyed: $part")
+      }
+    }
+  }
+
   test("heavy hitters: sketch partial-agg + broadcast semi join, no token-keyspace shuffle before it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hh = graft.operators.TextAnalysis.heavyHitterTokens(docs, "text", minFreq = 500)

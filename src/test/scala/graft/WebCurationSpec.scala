@@ -89,6 +89,39 @@ class WebCurationSpec extends AnyFunSuite {
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
+  test("keepFirstSpans: global first (id, pos) per shingle survives; later copies excised") {
+    // w=2 spans. doc 1 owns "aa bb", "bb cc", "cc dd"; doc 2 repeats
+    // "aa bb" at pos 0 (cover 0,1) and introduces "ee ff"; doc 3 is a
+    // verbatim copy of doc 1 -> every full-width span struck -> NULL;
+    // doc 5 repeats its own span within-doc (global order still applies)
+    val df = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb ee ff"),
+      (3L, "aa bb cc dd"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "zz yy zz yy")).toDF("doc_id", "text")
+    val out = WebCuration.keepFirstSpans(df, "doc_id", "text", w = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    // doc 2: struck occurrence "aa bb"@0 covers tokens 0,1 -> "ee ff"
+    // doc 3: struck at 0,1,2 -> covers 0..3 -> NULL
+    // doc 5: shingles zz-yy@0 (winner), yy-zz@1 (winner), zz-yy@2 struck
+    //        -> covers 2,3 -> "zz yy"
+    assert(out == Seq(
+      (1L, 4L, 0L, 4L, "aa bb cc dd"),
+      (2L, 4L, 1L, 2L, "ee ff"),
+      (3L, 4L, 3L, 0L, null),
+      (4L, 0L, 0L, 0L, null),
+      (5L, 4L, 1L, 2L, "zz yy")))
+    // duplicate ids are loud, same as the other per-doc operators
+    val dup = Seq((1L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      WebCuration.keepFirstSpans(dup, "doc_id", "text", w = 2).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       "mail a.b+c@test.org and x9@y.co end",
