@@ -61,7 +61,7 @@ object Extract {
         case "--decontaminate"    => a = a.copy(decontaminate = value("--decontaminate")); i += 2
         case "--dedup-spans"      =>
           val w = value("--dedup-spans").toInt
-          require(w >= 1, s"--dedup-spans width must be >= 1, got $w")
+          require(w >= 0, s"--dedup-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(dedupSpansW = w); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)

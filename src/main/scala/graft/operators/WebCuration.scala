@@ -183,21 +183,11 @@ object WebCuration {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans_struck"),
         sort_array(collect_list(col("pos"))).as("hits"))
-    val ex = graft.functions.SketchFunctions.exciseSpans(col("text"),
-      coalesce(col("hits"), array().cast("array<int>")), w)
-    // null-safe text join-back, mirroring Decontaminate.exciseAgainstShingles
-    val anchor = Dedup.checkedIdAnchor(df, idCol, "WebCuration.keepFirstSpans").alias("__a")
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text")).alias("__b")
-    anchor.join(base, col("__a.id") <=> col("__b.id"))
-      .select(col("__b.id").as("id"), col("__b.text").as("text"))
-      .join(struck, Seq("id"), "left")
-      .select(col("id"), ex.as("ex"),
-        coalesce(col("n_spans_struck"), lit(0L)).as("n_spans_struck"))
-      .select(col("id"),
-        coalesce(col("ex.n_tokens"), lit(0L)).as("n_tokens"),
-        col("n_spans_struck"),
-        coalesce(col("ex.n_kept"), lit(0L)).as("n_kept"),
-        col("ex.clean").as("clean_text"))
+    // the shared null-safe excision tail: a (single) null-id document
+    // participates fully — its struct sorts FIRST in the winner min, and
+    // its struck spans excise like any other id's
+    Decontaminate.exciseJoinBack(df, idCol, textCol, struck, w,
+      "n_spans_struck", "WebCuration.keepFirstSpans")
   }
 
   // ---------- PII ----------

@@ -81,16 +81,17 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(nullHit.getLong(1) == 3L && nullHit.getString(2) == "a b c")
   }
 
-  test("excise keeps a null-id corpus row (null-safe anchor join, matching flag)") {
+  test("excise keeps a null-id corpus row AND excises its matched spans (null-safe joins)") {
     val corpus = Seq((Option(1L), "q w e r"), (None: Option[Long], "q w e zz"))
       .toDF("doc_id", "text")
     val bench = Seq((100L, "q w e")).toDF("doc_id", "text")
     val out = Decontaminate.excise(corpus, bench, "doc_id", "text", w = 3)
       .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
         r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // the null-id row survives; its shingles never id-equality-match the
-    // hits side, so it reports 0 matches — flag's exact contract
-    assert(out == Set((1L, 4L, 1L, 1L), (-1L, 4L, 0L, 4L)))
+    // the null-id row survives and its benchmark hit at pos 0 excises
+    // tokens 0..2 — leaked benchmark text must NOT pass through just
+    // because the id is null (the unsafe direction for a decon gate)
+    assert(out == Set((1L, 4L, 1L, 1L), (-1L, 4L, 1L, 1L)))
   }
 
   test("flag == brute-force set overlap on the documents table") {

@@ -28,9 +28,18 @@ object SparkTestBase {
   def withCheckpointDir[T](f: => T): T = {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
-    sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    sc.setCheckpointDir(dir.toString)
     try f
-    finally sc.setCheckpointDir(prev.getOrElse(fallbackCheckpointDir))
+    finally {
+      sc.setCheckpointDir(prev.getOrElse(fallbackCheckpointDir))
+      // the checkpointed RDD data is only needed while f runs — reclaim it
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** All messages down a throwable's cause chain — Spark wraps executor

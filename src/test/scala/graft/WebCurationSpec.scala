@@ -120,6 +120,14 @@ class WebCurationSpec extends AnyFunSuite {
       WebCuration.keepFirstSpans(dup, "doc_id", "text", w = 2).collect()
     }
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+    // a (single) null-id doc participates fully: its within-doc repeat is
+    // struck like any other id's (the hits join-back is null-safe)
+    val withNull = Seq((Option(7L), "pp qq"), (None: Option[Long], "zz yy zz yy"))
+      .toDF("doc_id", "text")
+    val nOut = WebCuration.keepFirstSpans(withNull, "doc_id", "text", w = 2)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(2), if (r.isNullAt(4)) null else r.getString(4))).toSet
+    assert(nOut == Set((7L, 0L, "pp qq"), (-1L, 1L, "zz yy")))
   }
 
   test("pii counts and redaction") {
