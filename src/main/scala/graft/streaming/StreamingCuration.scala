@@ -94,7 +94,36 @@ object StreamingCuration {
   def startDecontaminate(docs: DataFrame, benchmark: DataFrame,
                          outRoot: String, checkpointDir: String,
                          w: Int = 13, minOverlap: Long = 3L,
-                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startAgainstBenchmark(docs, benchmark, outRoot, checkpointDir, w, trigger) {
+      (fresh, benchSh) =>
+        graft.operators.Decontaminate.flagAgainstShingles(
+          fresh, benchSh, "id", "text", w, minOverlap)
+    }
+
+  /** Streaming SPAN-LEVEL decontamination — the excision sibling of
+    * [[startDecontaminate]], same stateless per-batch shape (matched spans
+    * depend only on the doc's own shingles and the fixed benchmark set):
+    * each micro-batch excises its first-seen docs' matching spans and
+    * appends (id, n_tokens, n_spans_hit, n_kept, clean_text); the output
+    * union equals `Decontaminate.excise` over the first-seen docs. */
+  def startExcise(docs: DataFrame, benchmark: DataFrame,
+                  outRoot: String, checkpointDir: String,
+                  w: Int = 13,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startAgainstBenchmark(docs, benchmark, outRoot, checkpointDir, w, trigger) {
+      (fresh, benchSh) =>
+        graft.operators.Decontaminate.exciseAgainstShingles(
+          fresh, benchSh, "id", "text", w)
+    }
+
+  /** Shared plumbing of the stateless benchmark-gated legs: reduce+cache
+    * the benchmark shingle set once, flag/excise each micro-batch's
+    * first-seen docs, commit under the deterministic batch id, and tie the
+    * cached frame's lifetime to the query. */
+  private def startAgainstBenchmark(docs: DataFrame, benchmark: DataFrame,
+      outRoot: String, checkpointDir: String, w: Int, trigger: Trigger)(
+      process: (DataFrame, DataFrame) => DataFrame): StreamingQuery = {
     val outT = new ParquetManifestTable(outRoot)
     val benchSh = graft.operators.Decontaminate
       .benchmarkShingles(benchmark, "id", "text", w).cache()
@@ -102,10 +131,7 @@ object StreamingCuration {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        outT.commit(
-          graft.operators.Decontaminate.flagAgainstShingles(
-            firstSeen(batch, outT), benchSh, "id", "text", w, minOverlap),
-          f"b$batchId%08d")
+        outT.commit(process(firstSeen(batch, outT), benchSh), f"b$batchId%08d")
       }
       .start()
     // tie the cached shingle set's lifetime to the query — without this

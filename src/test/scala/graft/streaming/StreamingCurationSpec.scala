@@ -122,6 +122,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed.size == 4)
   }
 
+  test("streaming span excision across two deliveries == batch excise over the first-seen union") {
+    import graft.operators.Decontaminate
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sex_in").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_sex_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sex_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val bench = Seq((100L, "q w e r t y")).toDF("id", "text")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.startExcise(stream, bench, outRoot, ckDir, w = 3)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
+    }
+    val d1 = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"))
+    val d2 = Seq((1L, "redelivered ignored"), (3L, "zz q w e r zz2"),
+      (4L, null.asInstanceOf[String]))
+    d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
+    d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
+
+    val streamed = new graft.sources.ParquetManifestTable(outRoot).read(spark)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val firstSeen = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"),
+      (3L, "zz q w e r zz2"), (4L, null.asInstanceOf[String]))
+    val batch = Decontaminate.excise(firstSeen.toDF("id", "text"), bench, "id", "text", w = 3)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.size == 4)
+  }
+
   test("end-to-end through a real file-source stream across two runs") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in").toString
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_st").toString
