@@ -196,9 +196,10 @@ object Bench {
     // bench for the round). Contract: stdout line keys queries by their
     // short qNN prefix and carries no bands; BENCH_OUT.json carries the
     // full names and {best,median} bands for round-over-round comparison.
-    val qs = queryTimes.map { case (k, best, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$best%.3f"
+    def qJson(key: String => String): String = queryTimes.map { case (k, best, _) =>
+      "\"" + key(k) + "\":" + f"$best%.3f"
     }.mkString("{", ",", "}")
+    val qs = qJson(_.takeWhile(_ != '_'))
     val qBands = queryTimes
       .map { case (k, best, med) => "\"" + k + "\":{\"best\":" + f"$best%.3f" + ",\"median\":" + f"$med%.3f" + "}" }
       .mkString("{", ",", "}")
@@ -222,9 +223,7 @@ object Bench {
     def assemble(queries: String, bands: String): String =
       s"""{"metric":"extraction docs/sec at local[32] (4N); queries best-of-3 warm sec at local[$cpus] (qNN keys; full names+bands in BENCH_OUT.json)","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$queries,$bands"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},$sustained$scaling}"""
     val stdoutLine = assemble(qs, "")
-    val fileJson = assemble(
-      queryTimes.map { case (k, best, _) => "\"" + k + "\":" + f"$best%.3f" }.mkString("{", ",", "}"),
-      s""""query_bands":$qBands,""")
+    val fileJson = assemble(qJson(identity), s""""query_bands":$qBands,""")
     if (stdoutLine.length > 1500)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${stdoutLine.length} bytes — " +
         "approaching the driver's 2,000-byte tail capture; trim it")

@@ -374,8 +374,9 @@ object SketchKernel {
     var x = 0
     while (x < hits.numElements()) {
       if (!hits.isNullAt(x)) {
-        var k = math.max(hits.getInt(x), 0)
-        val end = math.min(hits.getInt(x).toLong + w, nTokens.toLong).toInt
+        val h = hits.getInt(x)
+        var k = math.max(h, 0)
+        val end = math.min(h.toLong + w, nTokens.toLong).toInt
         while (k < end) { covered(k) = true; k += 1 }
       }
       x += 1
