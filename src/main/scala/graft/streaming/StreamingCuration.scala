@@ -155,6 +155,79 @@ object StreamingCuration {
     q
   }
 
+  /** Streaming cross-document keep-first SPAN dedup — the streaming member
+    * of the exact-substring family (`WebCuration.keepFirstSpans` is the
+    * batch operator). Contract: ARRIVAL-order-first — a shingle's first
+    * DELIVERED occurrence keeps it; later arrivals (other docs, later in
+    * the same batch by (id, pos), or later batches) are excised. Keep-first
+    * is append-friendly: an already-committed document can never lose a
+    * span retroactively (its occurrence was first), so unlike the
+    * boilerplate strip there is no re-versioning — each batch appends one
+    * immutable result set plus the batch's NEW shingle md5s to the seen
+    * store. Equals the batch operator over the delivered union exactly
+    * when ids arrive in nondecreasing order (the spec's parity case);
+    * under out-of-order arrival the winners differ by design, not by bug.
+    *
+    * Incremental shape: per batch, the exchanges carry (id, pos-int, md5)
+    * occurrence rows and bare md5s — the seen-store semi/anti joins are
+    * hash-keyed on compact md5s, text rides only the final id-keyed
+    * excision join-back. The seen store is the operator's inherent state
+    * (the streaming analogue of the batch suffix structure), append-only
+    * and read by explicit prior-batch ids — a crash-retry never sees its
+    * own first attempt. */
+  def startKeepFirstSpans(docs: DataFrame, stateRoot: String, checkpointDir: String,
+                          w: Int = 13,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          reliableCheckpoint: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processKeepFirstSpans(batch, stateRoot, w, f"b$batchId%08d", reliableCheckpoint)
+      }
+      .start()
+
+  private[streaming] def processKeepFirstSpans(batch: DataFrame, stateRoot: String,
+                                               w: Int, batchId: String,
+                                               reliableCheckpoint: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val shT = new ParquetManifestTable(s"$stateRoot/shingles")
+    val outT = new ParquetManifestTable(s"$stateRoot/out")
+    def ckpt(df: DataFrame): DataFrame =
+      graft.operators.Dedup.checkpointDf(df, reliableCheckpoint)
+
+    val fresh = ckpt(firstSeen(batch, outT))
+    val occ = ckpt(graft.operators.Decontaminate
+      .shingleOccurrences(fresh, "id", "text", w))
+    // seen = shingles of strictly EARLIER batches (never "all": a
+    // crash-retry that already committed this batch's shingles must not
+    // count them as prior art and excise its own first occurrences)
+    val prior = shT.committedBatches.filter(_ < batchId)
+    val seen =
+      if (prior.isEmpty) Seq.empty[String].toDF("sh")
+      else prior.map(shT.readBatch(spark, _)).reduce(_ unionByName _).select("sh").distinct()
+
+    val winners = occ.groupBy(col("sh"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val struck = occ
+      .join(seen.withColumn("__seen", lit(true)), Seq("sh"), "left")
+      .join(winners, Seq("sh"))
+      .where(col("__seen") || struct(col("id"), col("pos")) =!= col("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans_struck"),
+        sort_array(collect_list(col("pos"))).as("hits"))
+    // shingle store FIRST: a crash between the commits then retries with
+    // the output still uncommitted (fresh non-empty, full recompute, both
+    // commits idempotent) — output-first would leave a committed result
+    // whose batch shingles never reach the store, silently re-winnable
+    shT.commit(occ.select(col("sh")).distinct()
+      .join(seen, Seq("sh"), "left_anti"), batchId)
+    outT.commit(graft.operators.Decontaminate.exciseJoinBack(
+      fresh, "id", "text", struck, w, "n_spans_struck",
+      "StreamingCuration.keepFirstSpans"), batchId)
+  }
+
   /** One micro-batch: append lines, merge counts, recompute + upsert
     * affected documents. Exposed for direct testing of the foreachBatch
     * body. `batchId` must be unique and lexicographically ordered across

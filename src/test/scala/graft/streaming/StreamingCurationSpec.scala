@@ -152,6 +152,30 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 4)
   }
 
+  test("streaming keep-first spans == batch operator under in-order delivery; retry no-op") {
+    import graft.operators.WebCuration
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_skfs").toString
+    val outT = new graft.sources.ParquetManifestTable(s"$stateRoot/out")
+    def outRows() = outT.read(spark).orderBy("id").collect().map(_.toString).toSeq
+    // doc 3 re-delivers doc 1's exact text a batch later (fully excised);
+    // doc 4 repeats a span within itself; doc 2 shares the "aa bb" span
+    val d1 = Seq((1L, "aa bb cc dd"), (2L, "aa bb ee ff")).toDF("id", "text")
+    val d2 = Seq((3L, "aa bb cc dd"), (4L, "zz yy zz yy")).toDF("id", "text")
+    StreamingCuration.processKeepFirstSpans(d1, stateRoot, w = 2, "b00000000")
+    StreamingCuration.processKeepFirstSpans(d2, stateRoot, w = 2, "b00000001")
+    val streamed = outRows()
+    val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
+    val batch = WebCuration.keepFirstSpans(all, "doc_id", "text", w = 2)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.size == 4)
+    // the cross-batch full duplicate actually excised to NULL
+    val doc3 = outT.read(spark).where(col("id") === 3L).collect().head
+    assert(doc3.getLong(3) == 0L && doc3.isNullAt(4))
+    // crash-retry of a committed batch id changes nothing
+    StreamingCuration.processKeepFirstSpans(d2, stateRoot, w = 2, "b00000001")
+    assert(outRows() == streamed)
+  }
+
   test("end-to-end through a real file-source stream across two runs") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in").toString
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_scur_st").toString
