@@ -501,6 +501,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark leak report (q52's reverse-direction audit): per benchmark
+    // doc, how many corpus docs share >= 3 of its 5-token shingles — the
+    // eval-rotation signal; corpus = the doubled set so cloned originals
+    // show up as extra leaky docs; shingles in > 3 corpus docs are
+    // excluded as universal boilerplate (the pair-fan-out cap)
+    "q61_leak_report" -> ((s, dir) =>
+      Decontaminate.leakReport(docsWithDups(s, dir),
+          t(s, dir, "documents").where(col("doc_id") % 50 === 0),
+          "doc_id", "text", w = 5, minOverlap = 3L, maxShingleDf = 3L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // per-label embedding centroids in integer 1e-4 space: elementwise
     // mean as (label, dim, n, mean_i4) rows — float->double widening +
     // floor*1e4 + long sums are order-independent and IEEE-identical in
@@ -1419,6 +1431,42 @@ object SparkEntry {
          LEFT JOIN nh USING (doc_id)
          LEFT JOIN keptagg ka USING (doc_id)
          ORDER BY doc_id""",
+
+    // distinct corpus shingles per doc, df cap via HAVING, pair overlap
+    // over distinct shared shingles; anchored on all benchmark ids
+    "q61_leak_report" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM corpus WHERE text IS NOT NULL),
+         csh AS (SELECT DISTINCT doc_id, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+                 FROM ct, unnest(range(len(t) - 4)) AS u(i)),
+         under AS (SELECT h FROM csh GROUP BY h HAVING count(*) <= 3),
+         bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         bsh AS (SELECT DISTINCT doc_id AS bid, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+                 FROM bt, unnest(range(len(t) - 4)) AS u(i)),
+         pairs AS (SELECT b.bid, c.doc_id AS cid, CAST(count(*) AS BIGINT) AS overlap
+                   FROM bsh b JOIN (SELECT doc_id, h FROM csh JOIN under USING (h)) c
+                     USING (h)
+                   GROUP BY b.bid, c.doc_id
+                   HAVING count(*) >= 3),
+         per AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_leaky_docs,
+                        CAST(max(overlap) AS BIGINT) AS max_overlap,
+                        CAST(sum(overlap) AS BIGINT) AS total_overlap
+                 FROM pairs GROUP BY bid),
+         nsh AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_shingles
+                 FROM bsh GROUP BY bid)
+         SELECT d.doc_id,
+                CAST(coalesce(nsh.n_shingles, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(per.n_leaky_docs, 0) AS BIGINT) AS n_leaky_docs,
+                CAST(coalesce(per.max_overlap, 0) AS BIGINT) AS max_overlap,
+                CAST(coalesce(per.total_overlap, 0) AS BIGINT) AS total_overlap
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+         LEFT JOIN nsh ON nsh.bid = d.doc_id
+         LEFT JOIN per ON per.bid = d.doc_id
+         ORDER BY d.doc_id""",
 
     // 1-based dims via range(len); same floor-scale-sum arithmetic. Two
     // DuckDB-version hazards are neutralized here: sum(BIGINT) returns

@@ -94,6 +94,30 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out == Set((1L, 4L, 1L, 1L), (-1L, 4L, 1L, 1L)))
   }
 
+  test("leakReport: per-benchmark exposure, universal shingles excluded by the df cap") {
+    // docs 1-2 duplicate the benchmark phrase; doc 3 shares only its head
+    // 3-gram, which the duplication pushes OVER the df cap (df=3 > 2);
+    // docs 4-6 carry a universal 3-gram "u1 u2 u3" (df=3, also capped)
+    val corpus = Seq(
+      (1L, "q w e r t"), (2L, "q w e r t"), (3L, "q w e zz yy"),
+      (4L, "u1 u2 u3 aa"), (5L, "u1 u2 u3 bb"), (6L, "u1 u2 u3 cc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "q w e r t"),      // leaks into docs 1 and 2 via wer+ert
+      (101L, "a b c d e"),      // clean
+      (102L, "u1 u2 u3 xx yy")  // only capped/unseen shingles -> no leaks
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.leakReport(corpus, bench, "doc_id", "text",
+        w = 3, minOverlap = 2L, maxShingleDf = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // bench 100's shingles: qwe (df=3, capped out), wer, ert (df=2 each):
+    // docs 1 and 2 overlap on {wer, ert} = 2 >= 2
+    assert(out == Seq(
+      (100L, 3L, 2L, 2L, 4L),
+      (101L, 3L, 0L, 0L, 0L),
+      (102L, 3L, 0L, 0L, 0L)))
+  }
+
   test("flag == brute-force set overlap on the documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.where(col("doc_id") % 50 === 0)

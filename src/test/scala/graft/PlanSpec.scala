@@ -278,6 +278,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("leak report: every exchange carries shingle md5s and ids, never text or chunks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.Decontaminate.leakReport(docs,
+      docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 5)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "text" || n == "c" || n == "chunk"),
+        s"shuffle carries ${names.mkString(",")}")
+    }
+  }
+
   test("dedup spans: within-doc span removal is map-only — zero exchanges over the scan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.where(col("text").isNotNull)
