@@ -674,7 +674,23 @@ object SparkEntry {
           concat(lit("https://"), col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
             lit(".example.com/p/"), col("doc_id").cast("string"))),
         "url", "doc_id", "n_chars", "lang")
-        .orderBy(col("domain")))
+        .orderBy(col("domain"))),
+
+    // per-domain document cap (anti-spam source balancing): keep the 3
+    // highest-quality docs per q43-synthesized domain, ties to the
+    // smallest id — the BOUNDED TopKByScore aggregate, not a per-domain
+    // window (a hot link-farm domain costs k map-side slots, not a
+    // single-partition sort); integer 1e-4 quality = q15's formula
+    "q62_domain_cap" -> ((s, dir) =>
+      WebCuration.capPerDomain(
+        t(s, dir, "documents").where(col("text").isNotNull)
+          .withColumn("url",
+            concat(lit("https://"), col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string")))
+          .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text"))),
+        "url", "doc_id", "q_i4", k = 3)
+        .select(col("domain"), col("id").as("doc_id"), col("score").as("q_i4"))
+        .orderBy(col("domain"), col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1706,6 +1722,30 @@ object SparkEntry {
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(MIN(doc_id) AS BIGINT) AS min_id
-         FROM d GROUP BY 1 ORDER BY domain"""
+         FROM d GROUP BY 1 ORDER BY domain""",
+
+    // q43's url/domain construction + q50's 1e4 quality formula; the cap
+    // is (q_i4 desc, doc_id asc) rank <= 3 per domain — exactly the
+    // collation capPerDomain's score*2^21+(2^21-1-id) double encodes
+    "q62_domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+           lower(regexp_extract(
+             'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
+               '.example.com/p/' || CAST(doc_id AS VARCHAR),
+             '(?i)^https?://([^/]+)', 1)) AS domain,
+           CAST(floor((
+             least(length(text) / 500.0, 1.0) * 0.4 +
+             least((CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3 +
+             (1.0 - least((CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT) AS q_i4
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT domain, doc_id, q_i4,
+           row_number() OVER (PARTITION BY domain ORDER BY q_i4 DESC, doc_id ASC) AS rn
+           FROM d)
+         SELECT domain, CAST(doc_id AS BIGINT) AS doc_id, CAST(q_i4 AS BIGINT) AS q_i4
+         FROM r WHERE rn <= 3
+         ORDER BY domain, doc_id"""
   )
 }

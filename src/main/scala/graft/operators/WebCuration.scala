@@ -265,6 +265,42 @@ object WebCuration {
   def domainOf(urlCol: Column): Column =
     lower(regexp_extract(urlCol, "(?i)^https?://([^/]+)", 1))
 
+  /** Per-DOMAIN document cap — the anti-spam source-balancing pass (one
+    * link-farm domain must not dominate a pack): keep the `k`
+    * highest-scoring documents per domain, ties to the SMALLEST id.
+    * Output (domain, id, score).
+    *
+    * Scale shape: the bounded `TopKByScore` aggregate keeps k rows per
+    * domain per partition MAP-side, so only domains x k x partitions rows
+    * cross the exchange — a per-domain `row_number` window would shuffle
+    * every hot domain's full row set into one partition's sort (the q04
+    * contrast). (score, id) ride ONE exactly-representable double:
+    * score * 2^21 + (2^21 - 1 - id) — max 2^52 < 2^53 — so the aggregate's
+    * scalar ordering IS the (score desc, id asc) collation; the domains
+    * guard raise_errors loudly on ids or scores outside the encodable
+    * range instead of silently mis-ranking. */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"capPerDomain needs k >= 1, got $k")
+    val maxId = 1L << 21
+    val maxScore = 1L << 31
+    val base = df
+      .select(domainOf(col(urlCol)).as("domain"),
+        col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
+      .where(when(col("id").isNotNull && col("id") >= 0 && col("id") < maxId &&
+          col("score").isNotNull && col("score") >= 0 && col("score") < maxScore, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"WebCuration.capPerDomain: id must be in [0, $maxId) and score in [0, $maxScore), got id="),
+          col("id").cast("string"), lit(" score="), col("score").cast("string"))).cast("boolean")))
+    base.groupBy(col("domain"))
+      .agg(graft.functions.TopKFunctions.topKByScore(
+        (col("score") * maxId + (lit(maxId - 1) - col("id"))).cast("double"),
+        col("id"), k).as("picks"))
+      .select(col("domain"), explode(col("picks")).as("p"))
+      .select(col("domain"), col("p.id").as("id"),
+        floor(col("p.score") / maxId).cast("long").as("score"))
+  }
+
   /** Canonical URL for crawl-level dedup keys: lowercase scheme and host
     * (case-insensitive per RFC 3986), strip the fragment, strip explicit
     * default ports (http:80 / https:443), and strip one trailing slash

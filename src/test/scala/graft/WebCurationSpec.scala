@@ -130,6 +130,23 @@ class WebCurationSpec extends AnyFunSuite {
     assert(nOut == Set((7L, 0L, "pp qq"), (-1L, 1L, "zz yy")))
   }
 
+  test("capPerDomain: top-k per domain by (score desc, id asc); out-of-range ids loud") {
+    val df = Seq(
+      (1L, "https://a.com/x", 50L), (2L, "https://a.com/y", 70L),
+      (3L, "https://a.com/z", 70L), (4L, "https://a.com/w", 10L),
+      (5L, "https://B.com/q", 30L)).toDF("doc_id", "url", "s")
+    val out = WebCuration.capPerDomain(df, "url", "doc_id", "s", k = 2)
+      .orderBy("domain", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a.com: 70@2, 70@3 beat 50@1 and 10@4; host lowercases
+    assert(out == Seq(("a.com", 2L, 70L), ("a.com", 3L, 70L), ("b.com", 5L, 30L)))
+    val bad = Seq((1L << 22, "https://a.com/x", 5L)).toDF("doc_id", "url", "s")
+    val e = intercept[Exception] {
+      WebCuration.capPerDomain(bad, "url", "doc_id", "s", 1).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("capPerDomain")))
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       "mail a.b+c@test.org and x9@y.co end",
