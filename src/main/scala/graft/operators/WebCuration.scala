@@ -292,6 +292,12 @@ object WebCuration {
         .otherwise(raise_error(concat(
           lit(s"WebCuration.capPerDomain: id must be in [0, $maxId) and score in [0, $maxScore), got id="),
           col("id").cast("string"), lit(" score="), col("score").cast("string"))).cast("boolean")))
+      // loud on duplicate ids like every sibling per-document operator —
+      // a repeated id would silently occupy several of its domain's k
+      // slots and emit duplicate rows (no null ids here: the range guard
+      // already raise_errors on them, so a plain semi join suffices)
+      .join(Dedup.checkedIdAnchor(df, idCol, "WebCuration.capPerDomain"),
+        Seq("id"), "left_semi")
     base.groupBy(col("domain"))
       .agg(graft.functions.TopKFunctions.topKByScore(
         (col("score") * maxId + (lit(maxId - 1) - col("id"))).cast("double"),

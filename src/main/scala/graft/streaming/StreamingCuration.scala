@@ -202,11 +202,14 @@ object StreamingCuration {
       .shingleOccurrences(fresh, "id", "text", w))
     // seen = shingles of strictly EARLIER batches (never "all": a
     // crash-retry that already committed this batch's shingles must not
-    // count them as prior art and excise its own first occurrences)
+    // count them as prior art and excise its own first occurrences).
+    // Already globally distinct by construction — each batch commits only
+    // shingles absent from every prior one — and checkpointed because TWO
+    // actions consume it (the anti-join commit and the excision flag join)
     val prior = shT.committedBatches.filter(_ < batchId)
-    val seen =
+    val seen = ckpt(
       if (prior.isEmpty) Seq.empty[String].toDF("sh")
-      else prior.map(shT.readBatch(spark, _)).reduce(_ unionByName _).select("sh").distinct()
+      else prior.map(shT.readBatch(spark, _)).reduce(_ unionByName _).select("sh"))
 
     val winners = occ.groupBy(col("sh"))
       .agg(min(struct(col("id"), col("pos"))).as("w"))

@@ -154,25 +154,38 @@ class StreamingCurationSpec extends AnyFunSuite {
 
   test("streaming keep-first spans == batch operator under in-order delivery; retry no-op") {
     import graft.operators.WebCuration
+    val inDir = java.nio.file.Files.createTempDirectory("graft_skfs_in").toString
     val stateRoot = java.nio.file.Files.createTempDirectory("graft_skfs").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_skfs_ck").toString
     val outT = new graft.sources.ParquetManifestTable(s"$stateRoot/out")
     def outRows() = outT.read(spark).orderBy("id").collect().map(_.toString).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.startKeepFirstSpans(stream, stateRoot, ckDir, w = 2)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
+    }
     // doc 3 re-delivers doc 1's exact text a batch later (fully excised);
-    // doc 4 repeats a span within itself; doc 2 shares the "aa bb" span
-    val d1 = Seq((1L, "aa bb cc dd"), (2L, "aa bb ee ff")).toDF("id", "text")
-    val d2 = Seq((3L, "aa bb cc dd"), (4L, "zz yy zz yy")).toDF("id", "text")
-    StreamingCuration.processKeepFirstSpans(d1, stateRoot, w = 2, "b00000000")
-    StreamingCuration.processKeepFirstSpans(d2, stateRoot, w = 2, "b00000001")
+    // doc 4 repeats a span within itself; doc 2 shares the "aa bb" span —
+    // driven through the REAL file-source entry point across two runs
+    val d1 = Seq((1L, "aa bb cc dd"), (2L, "aa bb ee ff"))
+    val d2 = Seq((3L, "aa bb cc dd"), (4L, "zz yy zz yy"))
+    d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
+    d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
     val streamed = outRows()
-    val all = d1.unionByName(d2).withColumnRenamed("id", "doc_id")
+    val all = (d1 ++ d2).toDF("doc_id", "text")
     val batch = WebCuration.keepFirstSpans(all, "doc_id", "text", w = 2)
       .orderBy("id").collect().map(_.toString).toSeq
     assert(streamed == batch && streamed.size == 4)
     // the cross-batch full duplicate actually excised to NULL
     val doc3 = outT.read(spark).where(col("id") === 3L).collect().head
     assert(doc3.getLong(3) == 0L && doc3.isNullAt(4))
-    // crash-retry of a committed batch id changes nothing
-    StreamingCuration.processKeepFirstSpans(d2, stateRoot, w = 2, "b00000001")
+    // crash-retry of the committed second batch id changes nothing (the
+    // stream's own f"b%08d" ids make the replay target explicit)
+    StreamingCuration.processKeepFirstSpans(d2.toDF("id", "text"), stateRoot,
+      w = 2, "b00000001")
     assert(outRows() == streamed)
   }
 
