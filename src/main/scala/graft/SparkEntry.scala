@@ -338,6 +338,25 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // pack MATERIALIZATION (the writer half of q35's assignment): each
+    // (lang, pack_id) becomes its concatenated training sequence — docs
+    // joined by a blank line in id order — plus doc/token bookkeeping;
+    // the per-pack collect is budget-bounded (~512 tokens) by construction
+    "q63_pack_materialize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - lit(1)) / lit(512)).cast("long"))
+      TextAnalysis.materializePacks(packed, Seq("lang", "pack_id"),
+          "doc_id", "text", "n_tokens")
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tokens"),
+          md5(col("packed_text")).as("pack_md5"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // native Catalyst Expression surface (pdf_text/html_text/graft_text in SQL)
     "q31_sql_expression" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -842,6 +861,23 @@ object SparkEntry {
          CAST(floor((SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512) AS BIGINT) AS pack_id
          FROM documents ORDER BY lang, doc_id""",
+
+    // q35's window assignment + ordered string_agg with a blank-line
+    // separator; md5 of the packed bytes is the cross-engine contract
+    "q63_pack_materialize" ->
+      """WITH p AS (
+           SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(floor((SUM(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512)
+               AS BIGINT) AS pack_id
+           FROM documents)
+         SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5
+         FROM p GROUP BY lang, pack_id
+         ORDER BY lang, pack_id""",
 
     "q33_cube_grouping" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -298,6 +298,34 @@ object TextAnalysis {
         (-col("p").getField("score")).cast("long").as("h"))
   }
 
+  /** Materialize packed training sequences — the writer half of the token
+    * packing story: [[packShardedOn]] / the q35 window ASSIGN pack ids,
+    * this turns each pack into its actual concatenated sequence
+    * (documents joined by `sep` in ascending id order) plus bookkeeping.
+    * Output: (groupCols..., n_docs, n_tokens, packed_text).
+    *
+    * Scale shape: one shuffle keyed by the pack identity — unavoidable
+    * and SAFE, because a pack is budget-bounded by construction (~the
+    * token budget), so the per-group collect is O(budget) however large
+    * the corpus; the sort inside each pack is array_sort over that
+    * bounded list, not a partition sort. Null texts contribute their row
+    * to n_docs but no bytes or separator (array_join and the oracle's
+    * string_agg both skip nulls). */
+  def materializePacks(assignments: DataFrame, groupCols: Seq[String],
+                       idCol: String, textCol: String, tokensCol: String,
+                       sep: String = "\n\n"): DataFrame = {
+    require(groupCols.nonEmpty, "materializePacks needs at least one group column")
+    assignments
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("id"), col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("packed_text"))
+  }
+
   /** Convenience: the documents table with all analysis columns attached. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.select((col("*") +:

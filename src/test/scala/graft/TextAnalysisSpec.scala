@@ -115,4 +115,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       }.sortBy(t => (t._1, t._3, t._2))
     assert(a == brute)
   }
+
+  test("materializePacks: id-ordered concat per pack; null texts counted but byteless") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, 0L, "cc", 1L), (1L, 0L, "aa bb", 2L),
+      (2L, 0L, null.asInstanceOf[String], 0L), (4L, 1L, "dd", 1L))
+      .toDF("doc_id", "pack_id", "text", "n_tokens")
+    val out = TextAnalysis.materializePacks(df, Seq("pack_id"), "doc_id", "text", "n_tokens")
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // pack 0 concatenates in doc-id order 1,2,3; the null text of doc 2
+    // contributes its row to n_docs but no bytes and no separator
+    assert(out == Seq((0L, 3L, 3L, "aa bb\n\ncc"), (1L, 1L, 1L, "dd")))
+  }
 }
