@@ -190,6 +190,59 @@ object WebCuration {
       "n_spans_struck", "WebCuration.keepFirstSpans")
   }
 
+  /** [[keepFirstSpans]] as EXECUTABLE SPARK SQL — the SQL surface for
+    * SQL-first users, composed entirely from the library's REGISTERED
+    * native functions (`token_chunks`, `excise_spans` — call
+    * `GraftFunctions.register(spark)` once per session) plus built-ins:
+    * same occurrence scan, same min-struct winner aggregate, same
+    * excision. Two documented deltas vs the Scala operator: no
+    * duplicate-id raise_error (SQL has no clean loud-guard idiom — the
+    * caller guarantees unique ids) and plain equality joins (a null-id
+    * row is dropped rather than kept). Parity-asserted against the
+    * operator on unique-id corpora (WebCurationSpec). */
+  def keepFirstSpansSqlRecipe(spark: org.apache.spark.sql.SparkSession,
+                              table: String, idCol: String, textCol: String,
+                              w: Int = 13): String = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    import SqlIdent.{col => q, table => qt}
+    val (id, text) = (q(idCol), q(textCol))
+    s"""WITH __docs AS (
+       |  SELECT $id AS id, $text AS text FROM ${qt(table)}
+       |), __occ AS (
+       |  SELECT id, c.chunk_idx AS pos, md5(c.chunk) AS sh
+       |  FROM __docs LATERAL VIEW explode(token_chunks(text, $w, 1)) AS c
+       |  WHERE text IS NOT NULL AND size(split(c.chunk, ' ')) = $w
+       |), __win AS (
+       |  SELECT sh, min(struct(id, pos)) AS w FROM __occ GROUP BY sh
+       |), __struck AS (
+       |  SELECT o.id, count(1) AS n_spans_struck,
+       |         sort_array(collect_list(o.pos)) AS hits
+       |  FROM __occ o JOIN __win ON o.sh = __win.sh
+       |  WHERE struct(o.id, o.pos) != __win.w
+       |  GROUP BY o.id
+       |), __ex AS (
+       |  SELECT d.id,
+       |         excise_spans(d.text, coalesce(s.hits, CAST(array() AS array<int>)), $w) AS ex,
+       |         coalesce(s.n_spans_struck, 0L) AS n_spans_struck
+       |  FROM __docs d LEFT JOIN __struck s ON d.id = s.id
+       |)
+       |SELECT id, coalesce(ex.n_tokens, 0L) AS n_tokens, n_spans_struck,
+       |       coalesce(ex.n_kept, 0L) AS n_kept, ex.clean AS clean_text
+       |FROM __ex""".stripMargin
+  }
+
+  /** Register [[keepFirstSpansSqlRecipe]] as a named temp view — the
+    * pure-SQL entry point mirroring `AsofJoin.registerView`. Registers
+    * the graft native functions into the session first. */
+  def registerKeepFirstSpansView(spark: org.apache.spark.sql.SparkSession,
+                                 viewName: String, table: String,
+                                 idCol: String, textCol: String,
+                                 w: Int = 13): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      keepFirstSpansSqlRecipe(spark, table, idCol, textCol, w))
+  }
+
   // ---------- PII ----------
 
   /** Conservative ASCII PII patterns, deliberately restricted to syntax

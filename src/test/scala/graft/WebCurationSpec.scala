@@ -130,6 +130,18 @@ class WebCurationSpec extends AnyFunSuite {
     assert(nOut == Set((7L, 0L, "pp qq"), (-1L, 1L, "zz yy")))
   }
 
+  test("keepFirstSpans SQL recipe + registered view reproduce the operator on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("kfs_sql_docs")
+    WebCuration.registerKeepFirstSpansView(spark, "kfs_sql_view",
+      "kfs_sql_docs", "doc_id", "text", w = 5)
+    val viaSql = spark.sql("SELECT * FROM kfs_sql_view ORDER BY id")
+      .collect().map(_.toString).toSeq
+    val viaApi = WebCuration.keepFirstSpans(docs, "doc_id", "text", w = 5)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("capPerDomain: top-k per domain by (score desc, id asc); out-of-range ids loud") {
     val df = Seq(
       (1L, "https://a.com/x", 50L), (2L, "https://a.com/y", 70L),
