@@ -27,6 +27,16 @@ object SparkEntry {
   /** Documents table with injected duplicates (first 20 docs copied to
     * doc_id+100000) so the dedup operators always have true positives —
     * fully deterministic. */
+  /** ONE copy of the q35/q63 pack-assignment formula (per-language running
+    * token sum, floor((cum-1)/budget)): the materialization query must
+    * assign EXACTLY the packs the assignment query reports. */
+  private def withPackAssignment(df: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(budget)).cast("long"))
+  }
+
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.unionByName(
@@ -328,28 +338,21 @@ object SparkEntry {
     // scale one giant language serializes into one partition's window sort.
     // The pipeline API is TextAnalysis.packTokensSharded (salted two-level
     // packing, sort parallelism = langs x shards).
-    "q35_token_packing" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id", floor((col("cum_tokens") - lit(1)) / lit(512)).cast("long"))
-        .orderBy(col("lang"), col("doc_id"))
-    }),
+    "q35_token_packing" -> ((s, dir) =>
+      withPackAssignment(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens")))
+        .orderBy(col("lang"), col("doc_id"))),
 
     // pack MATERIALIZATION (the writer half of q35's assignment): each
     // (lang, pack_id) becomes its concatenated training sequence — docs
     // joined by a blank line in id order — plus doc/token bookkeeping;
     // the per-pack collect is budget-bounded (~512 tokens) by construction
     "q63_pack_materialize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val packed = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("pack_id",
-          floor((sum(col("n_tokens")).over(w) - lit(1)) / lit(512)).cast("long"))
+      val packed = withPackAssignment(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")))
       TextAnalysis.materializePacks(packed, Seq("lang", "pack_id"),
           "doc_id", "text", "n_tokens")
         .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tokens"),

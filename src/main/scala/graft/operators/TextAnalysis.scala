@@ -309,8 +309,10 @@ object TextAnalysis {
     * token budget), so the per-group collect is O(budget) however large
     * the corpus; the sort inside each pack is array_sort over that
     * bounded list, not a partition sort. Null texts contribute their row
-    * to n_docs but no bytes or separator (array_join and the oracle's
-    * string_agg both skip nulls). */
+    * to n_docs but no bytes or separator, and a pack whose EVERY text is
+    * null gets packed_text NULL (not "") — the library's
+    * nothing-survived convention and string_agg's exact behavior, so the
+    * q63 oracle stays hash-exact even on all-null groups. */
   def materializePacks(assignments: DataFrame, groupCols: Seq[String],
                        idCol: String, textCol: String, tokensCol: String,
                        sep: String = "\n\n"): DataFrame = {
@@ -319,11 +321,11 @@ object TextAnalysis {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).cast("long").as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col(idCol).as("id"), col(textCol).as("t")))),
-            s => s.getField("t")),
-          sep).as("packed_text"))
+        sum(when(col(textCol).isNotNull, 1L).otherwise(0L)).as("__nn"),
+        WebCuration.sortedJoin(
+          struct(col(idCol).as("id"), col(textCol).as("t")), "t", sep).as("__joined"))
+      .select((groupCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+        when(col("__nn") > 0, col("__joined")).as("packed_text"))): _*)
   }
 
   /** Convenience: the documents table with all analysis columns attached. */

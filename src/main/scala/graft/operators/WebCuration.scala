@@ -88,6 +88,17 @@ object WebCuration {
     reassembleKept(exploded.join(hot, Seq("line_md5"), "left")
       .withColumn("keep", col("hot").isNull))
 
+  /** ONE copy of the collect/sort-by-key/strip-key/rejoin idiom shared by
+    * [[reassembleKept]] and `TextAnalysis.materializePacks`: `entries` is
+    * a per-row (possibly null) struct whose FIRST field is the sort key
+    * and whose `field` field carries the payload; null entries and null
+    * payloads are skipped by both collect_list and array_join — exactly
+    * `string_agg ... ORDER BY` semantics on the oracle side. */
+  private[operators] def sortedJoin(entries: Column, field: String, sep: String): Column =
+    array_join(
+      transform(array_sort(collect_list(entries)), s => s.getField(field)),
+      sep)
+
   /** Row-level form of the reassembly: `flagged` = (id, idx, line, keep)
     * rows; surviving lines rejoin in index order. One row per id present
     * in `flagged`: (id, n_lines, n_kept, joined). */
@@ -97,11 +108,8 @@ object WebCuration {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("keep"), struct(col("idx"), col("line"))))),
-            s => s.getField("line")),
-          "\n").as("joined"))
+        sortedJoin(when(col("keep"), struct(col("idx"), col("line"))), "line", "\n")
+          .as("joined"))
 
   /** Cross-document KEEP-FIRST line dedup (the C4/"Deduplicating Training
     * Data" exact-span discipline at line granularity): every distinct
@@ -195,13 +203,15 @@ object WebCuration {
     * native functions (`token_chunks`, `excise_spans` — call
     * `GraftFunctions.register(spark)` once per session) plus built-ins:
     * same occurrence scan, same min-struct winner aggregate, same
-    * excision. Two documented deltas vs the Scala operator: no
-    * duplicate-id raise_error (SQL has no clean loud-guard idiom — the
-    * caller guarantees unique ids) and plain equality joins (a null-id
-    * row is dropped rather than kept). Parity-asserted against the
-    * operator on unique-id corpora (WebCurationSpec). */
-  def keepFirstSpansSqlRecipe(spark: org.apache.spark.sql.SparkSession,
-                              table: String, idCol: String, textCol: String,
+    * null-safe excision join-back. Two documented deltas vs the Scala
+    * operator: no duplicate-id raise_error (SQL has no clean loud-guard
+    * idiom — the caller guarantees unique ids), and no forced
+    * materialization of the occurrence frame — the `__occ` CTE feeds two
+    * consumers, so on a large corpus `CACHE TABLE`/persist the source (or
+    * use the Scala operator, whose `materialize=true` checkpoints it) to
+    * avoid tokenizing every document twice. Parity-asserted against the
+    * operator (WebCurationSpec). */
+  def keepFirstSpansSqlRecipe(table: String, idCol: String, textCol: String,
                               w: Int = 13): String = {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     import SqlIdent.{col => q, table => qt}
@@ -224,7 +234,7 @@ object WebCuration {
        |  SELECT d.id,
        |         excise_spans(d.text, coalesce(s.hits, CAST(array() AS array<int>)), $w) AS ex,
        |         coalesce(s.n_spans_struck, 0L) AS n_spans_struck
-       |  FROM __docs d LEFT JOIN __struck s ON d.id = s.id
+       |  FROM __docs d LEFT JOIN __struck s ON d.id <=> s.id
        |)
        |SELECT id, coalesce(ex.n_tokens, 0L) AS n_tokens, n_spans_struck,
        |       coalesce(ex.n_kept, 0L) AS n_kept, ex.clean AS clean_text
@@ -240,7 +250,7 @@ object WebCuration {
                                  w: Int = 13): Unit = {
     graft.functions.GraftFunctions.register(spark)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
-      keepFirstSpansSqlRecipe(spark, table, idCol, textCol, w))
+      keepFirstSpansSqlRecipe(table, idCol, textCol, w))
   }
 
   // ---------- PII ----------
