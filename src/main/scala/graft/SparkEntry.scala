@@ -712,7 +712,17 @@ object SparkEntry {
           .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text"))),
         "url", "doc_id", "q_i4", k = 3)
         .select(col("domain"), col("id").as("doc_id"), col("score").as("q_i4"))
-        .orderBy(col("domain"), col("doc_id")))
+        .orderBy(col("domain"), col("doc_id"))),
+
+    // corpus-trained unigram surprisal (the CCNet-style "perplexity"
+    // quality gate, whole-bit quantized so both engines agree exactly:
+    // floor(log2 n) == length(bin(n))-1, an integer identity — no libm
+    // log whose boundary rounding drifts across builds). Self-scored:
+    // the model is the corpus itself, so no OOV path fires here
+    "q64_surprisal" -> ((s, dir) =>
+      LanguageModel.selfSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1576,6 +1586,41 @@ object SparkEntry {
                      THEN coalesce(st.n_rare, 0) * 1000000 // st.n_tokens
                      ELSE 0 END AS BIGINT) AS rare_ppm
          FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN st USING (doc_id)
+         ORDER BY doc_id""",
+
+    // unigram surprisal replayed in integer bit space: the model is the
+    // corpus's own token occurrence counts; bits = (length(bin(total))-1)
+    // - (length(bin(cnt))-1), identical to Spark's bin() rendering; sums
+    // CAST AS BIGINT (DuckDB sum -> HUGEINT -> float64 via fetchdf
+    // otherwise — the r4 lesson); // only on non-negative operands
+    "q64_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token
+         ), model AS (
+           SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+         ), tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model
+         ), mb AS (
+           SELECT token,
+                  CAST((length(bin(total)) - 1) - (length(bin(cnt)) - 1)
+                       AS BIGINT) AS bits
+           FROM model, tot
+         ), st AS (
+           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf.tf * mb.bits) AS BIGINT) AS surprisal_bits
+           FROM tf JOIN mb USING (token) GROUP BY tf.doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(st.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+                CAST(CASE WHEN coalesce(st.n_tokens, 0) > 0
+                     THEN st.surprisal_bits * 100 // st.n_tokens
+                     ELSE 0 END AS BIGINT) AS mean_bits_x100
+         FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st USING (doc_id)
          ORDER BY doc_id""",
 
     // same shingle space: md5 of the 5-token windows of the single-space

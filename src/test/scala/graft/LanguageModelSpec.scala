@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LanguageModel
+
+class LanguageModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("floorLog2 is exact at power-of-two boundaries") {
+    val got = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, 1025L, (1L << 62))
+      .toDF("n")
+      .select(col("n"), LanguageModel.floorLog2(col("n")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 7L -> 2L,
+      8L -> 3L, 1023L -> 9L, 1024L -> 10L, 1025L -> 10L, (1L << 62) -> 62L)
+    assert(got == expected)
+  }
+
+  test("selfSurprisal == brute-force bit accounting on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = LanguageModel.selfSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    def fl2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Array.empty[String]
+         else r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    val cnt = toks.flatMap(_._2).groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val total = cnt.values.sum
+    val expected = toks.map { case (id, ts) =>
+      val bits = ts.map(t => fl2(total) - fl2(cnt(t))).sum
+      val n = ts.length.toLong
+      id -> (n, bits, if (n > 0) bits * 100 / n else 0L)
+    }.toMap
+    assert(got == expected)
+    // the gate separates documents: scores are non-degenerate
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
+  test("external model: OOV tokens charge max(bits) + 1") {
+    val model = LanguageModel.unigramModel(
+      Seq((1L, "a a a a b b c"), (2L, "a b c d")).toDF("id", "text"), "id", "text")
+    val m = model.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // total = 11 occurrences -> floor(log2 11) = 3; a:5 -> 3-2=1 bit,
+    // b:3 -> 3-1=2, c:2 -> 3-1=2, d:1 -> 3-0=3
+    assert(m.map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 2L), (5L, 1L)))
+
+    val scored = LanguageModel.surprisalStats(
+      Seq((10L, "a zz"), (11L, null.asInstanceOf[String])).toDF("id", "text"),
+      "id", "text", model)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // oov = max bits + 1 = 4; doc 10 = a(1) + zz(4) = 5 bits over 2 tokens
+    assert(scored(10L) == ((2L, 5L, 250L)))
+    assert(scored(11L) == ((0L, 0L, 0L)))
+  }
+
+  test("surprisalStats raise_errors on duplicate ids") {
+    val dup = Seq((1L, "a b"), (1L, "c d")).toDF("id", "text")
+    val model = LanguageModel.unigramModel(dup.limit(1), "id", "text")
+    val ex = intercept[Exception] {
+      LanguageModel.surprisalStats(dup, "id", "text", model).collect()
+    }
+    assert(ex.getMessage.contains("LanguageModel.surprisalStats"))
+  }
+
+  test("deterministic across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = LanguageModel.selfSurprisal(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = LanguageModel.selfSurprisal(docs.repartition(17), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
