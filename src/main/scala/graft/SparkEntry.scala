@@ -722,6 +722,19 @@ object SparkEntry {
     "q64_surprisal" -> ((s, dir) =>
       LanguageModel.selfSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // corpus-RELATIVE quality gate (FineWeb-style): drop the bottom 25%
+    // by integer 1e-4 quality score, threshold = the (k+1)-th smallest
+    // score including duplicates — exact integer selection over the
+    // histogram value space, ties at the cut survive deterministically;
+    // null-text docs never rank and report kept=0
+    "q65_relative_gate" -> ((s, dir) =>
+      Stats.relativeGate(
+        t(s, dir, "documents")
+          .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text"))),
+        "doc_id", "q_i4", dropPpm = 250000L)
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id")))
   )
 
@@ -1830,6 +1843,35 @@ object SparkEntry {
            FROM d)
          SELECT domain, CAST(doc_id AS BIGINT) AS doc_id, CAST(q_i4 AS BIGINT) AS q_i4
          FROM r WHERE rn <= 3
-         ORDER BY domain, doc_id"""
+         ORDER BY domain, doc_id""",
+
+    // relative gate replayed: same q_i4 replica as q62, histogram +
+    // running cum over DISTINCT score values, threshold = min v with
+    // cum >= k+1, k = n * dropPpm // 1e6 (// on non-negatives only);
+    // null-score docs re-anchor via LEFT JOIN with kept=0
+    "q65_relative_gate" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(floor((
+             least(length(text) / 500.0, 1.0) * 0.4 +
+             least((CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3 +
+             (1.0 - least((CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT) AS score
+           FROM documents WHERE text IS NOT NULL),
+         hist AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM d GROUP BY score),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+         cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM hist),
+         thr AS (SELECT CAST(min(CASE WHEN cum >= (n * 250000 // 1000000) + 1
+                                      THEN v END) AS BIGINT) AS thr
+                 FROM cum, tot)
+         SELECT a.doc_id, d.score, thr.thr,
+                CAST(CASE WHEN d.score >= thr.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM (SELECT DISTINCT doc_id FROM documents) a
+         LEFT JOIN d USING (doc_id) CROSS JOIN thr
+         ORDER BY doc_id"""
   )
 }

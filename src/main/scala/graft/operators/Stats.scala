@@ -111,4 +111,63 @@ object Stats {
         max(col("__ndv")).as("max_distinct_values_per_group"))
       .drop("__ndv")
   }
+
+  /** CORPUS-RELATIVE threshold gate (the FineWeb-style complement to
+    * Curate's absolute quality gate): drop the documents whose integral
+    * score lands in the bottom `dropPpm` parts-per-million of the corpus,
+    * whatever absolute value that threshold happens to be this crawl.
+    *
+    * Exact integer selection: with n scored documents, k = n * dropPpm
+    * div 1_000_000 may be dropped, and the threshold is the (k+1)-th
+    * smallest score INCLUDING duplicates — every document with score >=
+    * threshold is kept, so value ties never split nondeterministically
+    * (ties at the cut survive; the kept count is >= n - k). Any engine
+    * reproduces the decision bit-for-bit (q65's DuckDB oracle).
+    *
+    * Output: (id, score, thr, kept) — score/kept=0 for documents whose
+    * score is null (they never rank), thr the global cut value. Ids must
+    * be unique (checked anchor).
+    *
+    * Scale shape, the [[exactQuantiles]] histogram discipline globalized:
+    * the only row-space pass is the map-side-combined (score -> count)
+    * histogram, the cumulation runs over DISTINCT score values in one
+    * window task (bounded value space — ENFORCED by
+    * `maxDistinctValues` raise_error before the window, quantize with
+    * [[exactQuantiles]]'s valueResolution trick upstream if needed), and
+    * the 1-row threshold broadcasts back onto the full frame. */
+  def relativeGate(df: DataFrame, idCol: String, scoreCol: String,
+                   dropPpm: Long,
+                   maxDistinctValues: Long = 4L << 20): DataFrame = {
+    require(dropPpm >= 0L && dropPpm <= 1000000L,
+      s"dropPpm must lie in [0, 1000000], got $dropPpm")
+    require(maxDistinctValues >= 1L,
+      s"maxDistinctValues must be >= 1, got $maxDistinctValues")
+    val scores = df
+      .select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
+      .where(col("score").isNotNull)
+    val hist = scores.groupBy(col("score").as("v")).agg(count(lit(1)).as("c"))
+    val totals = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("__ndv"))
+    // cap enforced BEFORE the single-task cum window, the exactQuantiles
+    // rule: a near-continuous score column fails loudly in the scan stage
+    val checked = hist.crossJoin(broadcast(totals))
+      .where(when(col("__ndv") <= lit(maxDistinctValues), lit(true))
+        .otherwise(raise_error(concat(
+          lit("relativeGate: score column has "), col("__ndv").cast("string"),
+          lit(s" distinct values (cap $maxDistinctValues); quantize the " +
+            "score upstream (floor-multiple, the exactQuantiles " +
+            "valueResolution arithmetic) before gating")))
+          .cast("boolean")))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thrRow = checked
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .agg(min(when(col("cum") >= expr(s"n * ${dropPpm}L div 1000000L") + lit(1L),
+        col("v"))).as("thr"))
+    Dedup.checkedIdAnchor(df, idCol, "Stats.relativeGate")
+      .join(scores, Seq("id"), "left")
+      .crossJoin(broadcast(thrRow))
+      .select(col("id"), col("score"), col("thr"),
+        coalesce((col("score") >= col("thr")).cast("long"), lit(0L)).as("kept"))
+  }
 }

@@ -90,4 +90,59 @@ class StatsSpec extends AnyFunSuite {
       .orderBy("g").collect().map(_.toString).toSeq
     assert(run(2) == run(13))
   }
+
+  test("relativeGate == brute-force (k+1)-th smallest threshold, ties survive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dropPpm = 250000L
+    val got = Stats.relativeGate(docs, "doc_id", "n_chars", dropPpm)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val scored = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = scored.map(_._2).sorted
+    val k = (sorted.length.toLong * dropPpm / 1000000L).toInt
+    val thr = sorted(k) // (k+1)-th smallest, 0-based
+    scored.foreach { case (id, v) =>
+      assert(got(id) == ((v, thr, if (v >= thr) 1L else 0L)), s"doc $id")
+    }
+    val keptN = got.values.count(_._3 == 1L)
+    // ties at the cut keep >= n - k documents, and the gate drops SOME
+    assert(keptN >= sorted.length - k && keptN < sorted.length)
+  }
+
+  test("relativeGate: null scores never rank and report kept=0") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)), (4L, Some(20L)))
+      .toDF("id", "v")
+    val got = Stats.relativeGate(df, "id", "v", dropPpm = 340000L)
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // n = 3 scored, k = 3*340000/1e6 = 1 -> thr = 2nd smallest = 10
+    assert(got(2L) == ((-1L, 10L, 0L)))
+    assert(got(3L) == ((5L, 10L, 0L)))
+    assert(got(1L) == ((10L, 10L, 1L)))
+    assert(got(4L) == ((20L, 10L, 1L)))
+  }
+
+  test("relativeGate edge ppm: 0 keeps every scored doc; 1e6 keeps none") {
+    val df = Seq((1L, 3L), (2L, 7L)).toDF("id", "v")
+    val all = Stats.relativeGate(df, "id", "v", 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(all == Map(1L -> 1L, 2L -> 1L))
+    val none = Stats.relativeGate(df, "id", "v", 1000000L).collect()
+      .map(r => (r.getLong(0), (r.isNullAt(2), r.getLong(3)))).toMap
+    assert(none == Map(1L -> ((true, 0L)), 2L -> ((true, 0L))))
+  }
+
+  test("relativeGate raise_errors past the distinct-value cap and on duplicate ids") {
+    val wide = spark.range(0, 100).selectExpr("id", "id AS v")
+    val ex = intercept[Exception] {
+      Stats.relativeGate(wide, "id", "v", 100000L, maxDistinctValues = 10L).collect()
+    }
+    assert(SparkTestBase.causeMessages(ex).exists(_.contains("relativeGate")))
+    val dup = Seq((1L, 5L), (1L, 6L)).toDF("id", "v")
+    val ex2 = intercept[Exception] {
+      Stats.relativeGate(dup, "id", "v", 0L).collect()
+    }
+    assert(SparkTestBase.causeMessages(ex2).exists(_.contains("duplicate input id")))
+  }
 }
