@@ -735,7 +735,24 @@ object SparkEntry {
           .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text"))),
         "doc_id", "q_i4", dropPpm = 250000L)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // quality-aware cluster representative (FineWeb-style): per exact-dup
+    // cluster (md5(text) group, label = min doc_id) keep the HIGHEST-q_i4
+    // member, ties to the smallest id — the winner is one map-side
+    // combinable max(score*2^21 + (2^21-1-id)) aggregate cell per
+    // cluster, never a per-cluster window, so a million-copy boilerplate
+    // cluster costs one partial-agg cell, not a hot sort partition
+    "q66_cluster_reps" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("text").isNotNull)
+        .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text")))
+        .withColumn("g", md5(col("text")))
+      val labels = d.groupBy(col("g")).agg(min(col("doc_id")).as("cluster_id"))
+      Dedup.clusterRepresentatives(d.join(labels, Seq("g")),
+          "doc_id", "cluster_id", "q_i4")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1872,6 +1889,29 @@ object SparkEntry {
                 CAST(CASE WHEN d.score >= thr.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
          FROM (SELECT DISTINCT doc_id FROM documents) a
          LEFT JOIN d USING (doc_id) CROSS JOIN thr
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // exact-dup clusters keyed by md5(text) (label = min doc_id), q15's
+    // 1e-4 quality replica, representative = (score desc, doc_id asc)
+    // rank 1 — the collation clusterRepresentatives' max(packed) encodes
+    "q66_cluster_reps" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS g,
+           CAST(floor((
+             least(length(text) / 500.0, 1.0) * 0.4 +
+             least((CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','a','to','in','is'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1)) * 5.0, 1.0) * 0.3 +
+             (1.0 - least((CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3) * 10000) AS BIGINT) AS score
+           FROM documents WHERE text IS NOT NULL),
+         cl AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS cluster_id
+                FROM d GROUP BY g),
+         j AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, cl.cluster_id, d.score,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY d.score DESC, d.doc_id ASC) AS rn
+               FROM d JOIN cl USING (g))
+         SELECT doc_id, cluster_id, score,
+                CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         FROM j ORDER BY doc_id"""
   )
 }

@@ -588,4 +588,44 @@ object Dedup {
         graft.functions.SketchFunctions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** QUALITY-AWARE cluster representative selection — the FineWeb upgrade
+    * over [[connectedComponents]]' min-id `is_kept`: per near-dup cluster
+    * keep the HIGHEST-quality member (ties to the smallest id), so dedup
+    * discards the boilerplate-laden copies instead of whichever crawled
+    * first.
+    *
+    * Input: one row per document with its cluster label and integral
+    * score (join the CC output with a score frame upstream); ids must be
+    * unique (checked anchor) and (id, score) must fit the [[ScorePack]]
+    * ranges (loud guard). Output: (id, cluster_id, score, is_rep) with
+    * exactly one is_rep=1 row per cluster.
+    *
+    * Scale shape: the winner per cluster is ONE map-side-combinable
+    * max(packed) aggregate cell — never a per-cluster window, so a
+    * pathological million-member cluster costs a partial-agg cell, not a
+    * hot sort partition; the join back is cluster-keyed longs only, and
+    * AQE broadcasts the (clusters-sized) winner frame when small. */
+  def clusterRepresentatives(df: DataFrame, idCol: String, clusterCol: String,
+                             scoreCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        col(clusterCol).cast("long").as("cluster_id"),
+        col(scoreCol).cast("long").as("score"))
+      .where(ScorePack.guarded(col("id"), col("score"), "Dedup.clusterRepresentatives"))
+      // a null cluster label would silently vanish in the equality
+      // join-back below — fail loudly instead (sibling of the id guard)
+      .where(when(col("cluster_id").isNotNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit("Dedup.clusterRepresentatives: null cluster label for id="),
+          col("id").cast("string"))).cast("boolean")))
+      .join(checkedIdAnchor(df, idCol, "Dedup.clusterRepresentatives"),
+        Seq("id"), "left_semi")
+    val winners = base.groupBy(col("cluster_id"))
+      .agg(max(ScorePack.pack(col("score"), col("id"))).as("packed"))
+      .select(col("cluster_id"), ScorePack.unpackId(col("packed")).as("rep_id"))
+    base.join(winners, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("score"),
+        (col("id") === col("rep_id")).cast("long").as("is_rep"))
+  }
 }

@@ -345,16 +345,10 @@ object WebCuration {
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
                    scoreCol: String, k: Int): DataFrame = {
     require(k >= 1, s"capPerDomain needs k >= 1, got $k")
-    val maxId = 1L << 21
-    val maxScore = 1L << 31
     val base = df
       .select(domainOf(col(urlCol)).as("domain"),
         col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
-      .where(when(col("id").isNotNull && col("id") >= 0 && col("id") < maxId &&
-          col("score").isNotNull && col("score") >= 0 && col("score") < maxScore, lit(true))
-        .otherwise(raise_error(concat(
-          lit(s"WebCuration.capPerDomain: id must be in [0, $maxId) and score in [0, $maxScore), got id="),
-          col("id").cast("string"), lit(" score="), col("score").cast("string"))).cast("boolean")))
+      .where(ScorePack.guarded(col("id"), col("score"), "WebCuration.capPerDomain"))
       // loud on duplicate ids like every sibling per-document operator —
       // a repeated id would silently occupy several of its domain's k
       // slots and emit duplicate rows (no null ids here: the range guard
@@ -363,11 +357,11 @@ object WebCuration {
         Seq("id"), "left_semi")
     base.groupBy(col("domain"))
       .agg(graft.functions.TopKFunctions.topKByScore(
-        (col("score") * maxId + (lit(maxId - 1) - col("id"))).cast("double"),
+        ScorePack.pack(col("score"), col("id")).cast("double"),
         col("id"), k).as("picks"))
       .select(col("domain"), explode(col("picks")).as("p"))
       .select(col("domain"), col("p.id").as("id"),
-        floor(col("p.score") / maxId).cast("long").as("score"))
+        ScorePack.unpackScore(col("p.score")).as("score"))
   }
 
   /** Canonical URL for crawl-level dedup keys: lowercase scheme and host

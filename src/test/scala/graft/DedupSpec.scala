@@ -208,4 +208,36 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
+
+  test("clusterRepresentatives: highest score wins, ties to smallest id; duplicate/out-of-range ids loud") {
+    val df = Seq(
+      (1L, 10L, 50L), (2L, 10L, 70L), (3L, 10L, 70L), // ties at 70 -> id 2
+      (4L, 20L, 5L),                                  // singleton cluster
+      (5L, 30L, 0L), (6L, 30L, 1L)                    // zero scores legal
+    ).toDF("doc_id", "cl", "q")
+    val out = Dedup.clusterRepresentatives(df, "doc_id", "cl", "q")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 10L, 50L, 0L), (2L, 10L, 70L, 1L), (3L, 10L, 70L, 0L),
+      (4L, 20L, 5L, 1L), (5L, 30L, 0L, 0L), (6L, 30L, 1L, 1L)))
+    // exactly one representative per cluster
+    assert(out.filter(_._4 == 1L).map(_._2).sorted == Seq(10L, 20L, 30L))
+    val dup = Seq((1L, 10L, 5L), (1L, 10L, 6L)).toDF("doc_id", "cl", "q")
+    val e1 = intercept[Exception] {
+      Dedup.clusterRepresentatives(dup, "doc_id", "cl", "q").collect()
+    }
+    assert(SparkTestBase.causeMessages(e1).exists(_.contains("clusterRepresentatives")))
+    val bad = Seq((1L << 22, 10L, 5L)).toDF("doc_id", "cl", "q")
+    val e2 = intercept[Exception] {
+      Dedup.clusterRepresentatives(bad, "doc_id", "cl", "q").collect()
+    }
+    assert(SparkTestBase.causeMessages(e2).exists(_.contains("clusterRepresentatives")))
+    val nullCl = Seq((1L, Some(10L), 5L), (2L, None, 6L))
+      .toDF("doc_id", "cl", "q")
+    val e3 = intercept[Exception] {
+      Dedup.clusterRepresentatives(nullCl, "doc_id", "cl", "q").collect()
+    }
+    assert(SparkTestBase.causeMessages(e3).exists(_.contains("null cluster label")))
+  }
 }
