@@ -740,9 +740,10 @@ object SparkEntry {
     // quality-aware cluster representative (FineWeb-style): per exact-dup
     // cluster (md5(text) group, label = min doc_id) keep the HIGHEST-q_i4
     // member, ties to the smallest id — the winner is one map-side
-    // combinable max(score*2^21 + (2^21-1-id)) aggregate cell per
-    // cluster, never a per-cluster window, so a million-copy boilerplate
-    // cluster costs one partial-agg cell, not a hot sort partition
+    // combinable max(struct(score, ~id)) aggregate cell per cluster
+    // (range-free: any long id fits), never a per-cluster window, so a
+    // million-copy boilerplate cluster costs one partial-agg cell, not a
+    // hot sort partition
     "q66_cluster_reps" -> ((s, dir) => {
       val d = t(s, dir, "documents").where(col("text").isNotNull)
         .withColumn("q_i4", TextAnalysis.qualityScoreI4(col("text")))
@@ -1893,7 +1894,7 @@ object SparkEntry {
 
     // exact-dup clusters keyed by md5(text) (label = min doc_id), q15's
     // 1e-4 quality replica, representative = (score desc, doc_id asc)
-    // rank 1 — the collation clusterRepresentatives' max(packed) encodes
+    // rank 1 — the collation clusterRepresentatives' max(struct) encodes
     "q66_cluster_reps" ->
       """WITH d AS (SELECT doc_id, md5(text) AS g,
            CAST(floor((

@@ -101,7 +101,7 @@ object Dedup {
       .where(when(col("__copies") === 1, lit(true))
         .otherwise(raise_error(concat(
           lit(s"$op: duplicate input id (ids must be unique): "),
-          col("id").cast("string"))).cast("boolean")))
+          coalesce(col("id").cast("string"), lit("null")))).cast("boolean")))
       .select(col("id"))
 
   /** Blocking-key frequency handling shared by every pair miner, as a
@@ -597,33 +597,42 @@ object Dedup {
     *
     * Input: one row per document with its cluster label and integral
     * score (join the CC output with a score frame upstream); ids must be
-    * unique (checked anchor) and (id, score) must fit the [[ScorePack]]
-    * ranges (loud guard). Output: (id, cluster_id, score, is_rep) with
-    * exactly one is_rep=1 row per cluster.
+    * unique (checked anchor) and (id, cluster, score) all non-null (loud
+    * guard). Any long id/score/cluster is legal — the winner collation is
+    * a lexicographic struct max, not a bit packing, so there are NO range
+    * caps (trillion-doc id spaces fit; contrast [[ScorePack]], whose
+    * 2^21/2^31 bounds exist only because the top-k sketch orders by one
+    * exact double). Output: (id, cluster_id, score, is_rep) with exactly
+    * one is_rep=1 row per cluster.
     *
     * Scale shape: the winner per cluster is ONE map-side-combinable
-    * max(packed) aggregate cell — never a per-cluster window, so a
-    * pathological million-member cluster costs a partial-agg cell, not a
-    * hot sort partition; the join back is cluster-keyed longs only, and
-    * AQE broadcasts the (clusters-sized) winner frame when small. */
+    * max(struct(score, ~id)) aggregate cell — bitwise NOT is the
+    * overflow-free order reversal (~x = -x-1, total and strictly
+    * decreasing on longs), so "highest score, ties to the SMALLEST id"
+    * is a plain max; never a per-cluster window, so a pathological
+    * million-member cluster costs a partial-agg cell, not a hot sort
+    * partition; the join back is cluster-keyed longs only, and AQE
+    * broadcasts the (clusters-sized) winner frame when small. */
   def clusterRepresentatives(df: DataFrame, idCol: String, clusterCol: String,
                              scoreCol: String): DataFrame = {
     val base = df
       .select(col(idCol).cast("long").as("id"),
         col(clusterCol).cast("long").as("cluster_id"),
         col(scoreCol).cast("long").as("score"))
-      .where(ScorePack.guarded(col("id"), col("score"), "Dedup.clusterRepresentatives"))
-      // a null cluster label would silently vanish in the equality
-      // join-back below — fail loudly instead (sibling of the id guard)
-      .where(when(col("cluster_id").isNotNull, lit(true))
+      // a null id/cluster/score would silently vanish in (or
+      // nondeterministically lose) the winner join below — fail loudly
+      .where(when(col("id").isNotNull && col("cluster_id").isNotNull &&
+          col("score").isNotNull, lit(true))
         .otherwise(raise_error(concat(
-          lit("Dedup.clusterRepresentatives: null cluster label for id="),
-          col("id").cast("string"))).cast("boolean")))
+          lit("Dedup.clusterRepresentatives: id, cluster and score must be non-null, got id="),
+          coalesce(col("id").cast("string"), lit("null")),
+          lit(" cluster="), coalesce(col("cluster_id").cast("string"), lit("null")),
+          lit(" score="), coalesce(col("score").cast("string"), lit("null")))).cast("boolean")))
       .join(checkedIdAnchor(df, idCol, "Dedup.clusterRepresentatives"),
         Seq("id"), "left_semi")
     val winners = base.groupBy(col("cluster_id"))
-      .agg(max(ScorePack.pack(col("score"), col("id"))).as("packed"))
-      .select(col("cluster_id"), ScorePack.unpackId(col("packed")).as("rep_id"))
+      .agg(max(struct(col("score"), bitwise_not(col("id")).as("nid"))).as("w"))
+      .select(col("cluster_id"), bitwise_not(col("w.nid")).as("rep_id"))
     base.join(winners, Seq("cluster_id"))
       .select(col("id"), col("cluster_id"), col("score"),
         (col("id") === col("rep_id")).cast("long").as("is_rep"))

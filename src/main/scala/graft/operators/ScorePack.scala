@@ -27,7 +27,8 @@ private[graft] object ScorePack {
         scoreCol.isNotNull && scoreCol >= 0 && scoreCol < MaxScore, lit(true))
       .otherwise(raise_error(concat(
         lit(s"$op: id must be in [0, $MaxId) and score in [0, $MaxScore), got id="),
-        idCol.cast("string"), lit(" score="), scoreCol.cast("string"))).cast("boolean"))
+        coalesce(idCol.cast("string"), lit("null")), lit(" score="),
+        coalesce(scoreCol.cast("string"), lit("null")))).cast("boolean"))
 
   def pack(scoreCol: Column, idCol: Column): Column =
     scoreCol * MaxId + (lit(MaxId - 1) - idCol)

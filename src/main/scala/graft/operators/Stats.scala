@@ -80,7 +80,7 @@ object Stats {
       .join(broadcast(overCap), Seq("g"), "left")
       .where(when(col("__ndv").isNull, lit(true))
         .otherwise(raise_error(concat(
-          lit("exactQuantiles: group "), col("g").cast("string"),
+          lit("exactQuantiles: group "), coalesce(col("g").cast("string"), lit("null")),
           lit(" has "), col("__ndv").cast("string"),
           lit(s" distinct values (cap $maxDistinctValuesPerGroup); " +
             "pass valueResolution to quantize, or use the approx_quantiles " +

@@ -74,7 +74,7 @@ object WebCuration {
         when(col("__copies") === 1, coalesce(col("n_lines"), lit(0L)))
           .otherwise(raise_error(concat(
             lit("stripBoilerplate: duplicate input id (ids must be unique): "),
-            col("id").cast("string")))).as("n_lines"),
+            coalesce(col("id").cast("string"), lit("null"))))).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
   }

@@ -209,35 +209,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
 
-  test("clusterRepresentatives: highest score wins, ties to smallest id; duplicate/out-of-range ids loud") {
+  test("clusterRepresentatives: highest score wins, ties to smallest id; duplicate/null inputs loud") {
     val df = Seq(
       (1L, 10L, 50L), (2L, 10L, 70L), (3L, 10L, 70L), // ties at 70 -> id 2
       (4L, 20L, 5L),                                  // singleton cluster
-      (5L, 30L, 0L), (6L, 30L, 1L)                    // zero scores legal
+      (5L, 30L, -7L), (6L, 30L, -2L)                  // negative scores legal
     ).toDF("doc_id", "cl", "q")
     val out = Dedup.clusterRepresentatives(df, "doc_id", "cl", "q")
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq(
       (1L, 10L, 50L, 0L), (2L, 10L, 70L, 1L), (3L, 10L, 70L, 0L),
-      (4L, 20L, 5L, 1L), (5L, 30L, 0L, 0L), (6L, 30L, 1L, 1L)))
+      (4L, 20L, 5L, 1L), (5L, 30L, -7L, 0L), (6L, 30L, -2L, 1L)))
     // exactly one representative per cluster
     assert(out.filter(_._4 == 1L).map(_._2).sorted == Seq(10L, 20L, 30L))
+    // no range caps: extreme long ids/scores are legal and ties still
+    // break to the smallest id at the edges of the long range
+    val extreme = Seq(
+      (Long.MaxValue, 1L, Long.MinValue), (Long.MaxValue - 1, 1L, Long.MinValue),
+      (0L, 2L, Long.MaxValue), (Long.MinValue, 2L, Long.MaxValue)
+    ).toDF("doc_id", "cl", "q")
+    val reps = Dedup.clusterRepresentatives(extreme, "doc_id", "cl", "q")
+      .where(col("is_rep") === 1).orderBy("cluster_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(reps == Seq((1L, Long.MaxValue - 1), (2L, Long.MinValue)))
     val dup = Seq((1L, 10L, 5L), (1L, 10L, 6L)).toDF("doc_id", "cl", "q")
     val e1 = intercept[Exception] {
       Dedup.clusterRepresentatives(dup, "doc_id", "cl", "q").collect()
     }
     assert(SparkTestBase.causeMessages(e1).exists(_.contains("clusterRepresentatives")))
-    val bad = Seq((1L << 22, 10L, 5L)).toDF("doc_id", "cl", "q")
-    val e2 = intercept[Exception] {
-      Dedup.clusterRepresentatives(bad, "doc_id", "cl", "q").collect()
-    }
-    assert(SparkTestBase.causeMessages(e2).exists(_.contains("clusterRepresentatives")))
     val nullCl = Seq((1L, Some(10L), 5L), (2L, None, 6L))
       .toDF("doc_id", "cl", "q")
     val e3 = intercept[Exception] {
       Dedup.clusterRepresentatives(nullCl, "doc_id", "cl", "q").collect()
     }
-    assert(SparkTestBase.causeMessages(e3).exists(_.contains("null cluster label")))
+    assert(SparkTestBase.causeMessages(e3).exists(_.contains("non-null")))
   }
 }
