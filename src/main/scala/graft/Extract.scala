@@ -14,7 +14,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
-  *   [--dedup-spans W]
+  *   [--dedup-spans W] [--quality-reps]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -37,7 +37,8 @@ object Extract {
       objectStreams: Boolean = false, sinks: Boolean = false,
       curate: Boolean = false, partitions: Int = 0,
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
-      decontaminate: String = null, dedupSpansW: Int = 0)
+      decontaminate: String = null, dedupSpansW: Int = 0,
+      qualityReps: Boolean = false)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -63,6 +64,7 @@ object Extract {
           val w = value("--dedup-spans").toInt
           require(w >= 0, s"--dedup-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(dedupSpansW = w); i += 2
+        case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -78,6 +80,8 @@ object Extract {
       "--decontaminate only affects the curated snapshot: pass --curate too")
     require(a.dedupSpansW == 0 || a.curate,
       "--dedup-spans only affects the curated snapshot: pass --curate too")
+    require(!a.qualityReps || a.curate,
+      "--quality-reps only affects the curated snapshot: pass --curate too")
     a
   }
 
@@ -216,7 +220,8 @@ object Extract {
           decode(col("contents"), "UTF-8").as("text")),
         stripBoilerplate = a.stripBoilerplate,
         decontaminateAgainst = benchmark,
-        dedupSpansW = a.dedupSpansW)
+        dedupSpansW = a.dedupSpansW,
+        qualityReps = a.qualityReps)
       new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round
       // frontier size + rounds-to-convergence) — the monitoring signal a

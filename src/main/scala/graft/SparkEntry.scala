@@ -753,10 +753,37 @@ object SparkEntry {
           "doc_id", "cluster_id", "q_i4")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // the full curation pipeline under the quality-aware survivor policy:
+    // q38's five stages, but each near-dup cluster keeps its
+    // HIGHEST-quality member (ties to min id) instead of the min id —
+    // the whole composition vs one DuckDB oracle
+    "q67_curate_qreps" -> ((s, dir) =>
+      Curate.curate(docsWithDups(s, dir), qualityReps = true)
+        .orderBy(col("detected_lang"), col("doc_id")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // q67 = q38's oracle with ONLY the survivor policy changed (derived,
+    // not duplicated, so the two stay in lock-step): each near-dup
+    // cluster keeps its (q_i4 desc, doc_id asc) rank-1 member instead of
+    // the min id — the collation clusterRepresentatives' max(struct)
+    // aggregate encodes
+    val minIdKept =
+      "kept AS (SELECT u.* FROM u JOIN cl ON cl.id = u.doc_id AND cl.cluster = u.doc_id)"
+    val qrepsKept =
+      """jq AS (SELECT u.*, cl.cluster FROM u JOIN cl ON cl.id = u.doc_id),
+         rk AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster
+                  ORDER BY q_i4 DESC, doc_id ASC) AS rn FROM jq),
+         kept AS (SELECT jq.* FROM jq JOIN rk USING (doc_id) WHERE rk.rn = 1)"""
+    val q38 = m("q38_curate")
+    require(q38.contains(minIdKept), "q38 oracle drifted from the q67 derivation anchor")
+    m + ("q67_curate_qreps" -> q38.replace(minIdKept, qrepsKept))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
          l_quantity AS qty,

@@ -11,7 +11,8 @@ import org.apache.spark.sql.expressions.Window
   *  1. per-document analysis gate (map-local: quality score + language id),
   *  2. exact dedup (shuffle on md5, keep min id),
   *  3. near-dup dedup: banded-minhash candidates -> exact jaccard verify ->
-  *     connected components -> keep each cluster's min id,
+  *     connected components -> keep each cluster's min id (or, with
+  *     `qualityReps`, its highest-quality member),
   *  4. greedy token-budget packing per language.
   *
   * Every stage is SQL-expressible, so the WHOLE pipeline is covered by one
@@ -37,7 +38,8 @@ object Curate {
              boilerplateChunk: Int = 8, boilerplateMinDocs: Long = 30L,
              decontaminateAgainst: DataFrame = null,
              decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L,
-             dedupSpansW: Int = 0): DataFrame = {
+             dedupSpansW: Int = 0,
+             qualityReps: Boolean = false): DataFrame = {
     // -1. optional WITHIN-doc repeated-span removal (dedupSpansW > 0) as
     // the very first rewrite: it is a pure map over each document alone
     // (zero shuffle), so it runs before any cross-document stage — a
@@ -114,8 +116,24 @@ object Curate {
     val clusters =
       if (starsCC) Dedup.connectedComponentsStars(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
       else Dedup.connectedComponents(pairs, ccIds, reliableCheckpoint = reliableCheckpoint)
-    val kept0 = uniq.join(
-      clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // survivor policy per near-dup cluster: min id (default — the
+    // SQL-replayable crawl-order convention) or, with `qualityReps`, the
+    // FineWeb-style highest-quality member (ties to min id) so dedup
+    // discards the boilerplate-laden copies instead of whichever crawled
+    // first. Exact copies collapsed at stage 2 share one quality score,
+    // so the two policies only diverge on genuine near-dups.
+    val kept0 =
+      if (!qualityReps)
+        uniq.join(
+          clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      else {
+        val reps = Dedup.clusterRepresentatives(
+            uniq.select(col("doc_id"), col("quality_i4"))
+              .join(clusters.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id")),
+            "doc_id", "cluster_id", "quality_i4")
+          .where(col("is_rep") === 1).select(col("id").as("doc_id"))
+        uniq.join(reps, Seq("doc_id"), "left_semi")
+      }
 
     // 3b. optional test-set decontamination, AFTER dedup (fewer docs to
     // shingle) and BEFORE packing (a removed doc must not occupy pack

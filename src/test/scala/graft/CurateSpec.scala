@@ -170,4 +170,26 @@ class CurateSpec extends AnyFunSuite {
     // (default-path non-drift is the q38 oracle's job — a same-session
     // re-run compare would be vacuous)
   }
+
+  test("qualityReps: near-dup cluster keeps the higher-quality member instead of the min id") {
+    import spark.implicits._
+    // two near-dups (jaccard ~0.995 on 3-word shingles): id 1 carries
+    // punctuation junk (lower quality), id 2 is clean (higher quality).
+    // Min-id policy keeps 1; qualityReps must keep 2 instead.
+    val body = (0 until 100).map(i => s"the w$i and v$i of u$i").mkString(" ")
+    val df = Seq((1L, body + " !!!! ???? ;;;;"), (2L, body)).toDF("doc_id", "text")
+    val dflt = Curate.curate(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    val qr = Curate.curate(df, qualityReps = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dflt == Set(1L), s"default policy: $dflt")
+    assert(qr == Set(2L), s"qualityReps policy: $qr")
+    // on exact duplicates the policies agree (identical text -> identical
+    // quality -> tie breaks to min id): the full-corpus run keeps the same
+    // survivor SET whenever all duplicate groups are exact
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+    val ids = Curate.curate(withDups, qualityReps = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ < 100000L))
+  }
 }
