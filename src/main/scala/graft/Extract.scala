@@ -14,7 +14,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
-  *   [--dedup-spans W] [--quality-reps]
+  *   [--dedup-spans W] [--quality-reps] [--table-format parquet|orc]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -38,7 +38,7 @@ object Extract {
       curate: Boolean = false, partitions: Int = 0,
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
       decontaminate: String = null, dedupSpansW: Int = 0,
-      qualityReps: Boolean = false)
+      qualityReps: Boolean = false, tableFormat: String = "parquet")
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -65,6 +65,7 @@ object Extract {
           require(w >= 0, s"--dedup-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(dedupSpansW = w); i += 2
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
+        case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -101,8 +102,8 @@ object Extract {
         CrawlCorpus.crawl(spark, a.input.stripPrefix("synth:").toLong, seed = 42L)
       else raw.select("url", "warc_ts", "html", "text", "lang").as[CrawlRow]
 
-    val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents")
-    val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics")
+    val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents", a.tableFormat)
+    val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics", a.tableFormat)
 
     val pending0 = Resume.pending(input, docsTable)
     // one input scan answers the pending count, batch identity, the
@@ -222,7 +223,7 @@ object Extract {
         decontaminateAgainst = benchmark,
         dedupSpansW = a.dedupSpansW,
         qualityReps = a.qualityReps)
-      new ParquetManifestTable(s"${a.outRoot}/curated").commit(curated, batchId)
+      new ParquetManifestTable(s"${a.outRoot}/curated", a.tableFormat).commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round
       // frontier size + rounds-to-convergence) — the monitoring signal a
       // 100 TB operator watches to catch degenerate duplicate graphs; the
@@ -230,7 +231,7 @@ object Extract {
       // have already run and their stats are final
       val cc = graft.operators.Dedup.lastCcRounds
       import spark.implicits._
-      new ParquetManifestTable(s"${a.outRoot}/metrics_cc").commit(
+      new ParquetManifestTable(s"${a.outRoot}/metrics_cc", a.tableFormat).commit(
         cc.map(r => (batchId, r.round, r.frontier, cc.length - 1))
           .toDF("batch_id", "round", "frontier", "rounds_to_convergence"),
         batchId)
@@ -241,7 +242,7 @@ object Extract {
       // so read()'s union-of-batches never duplicates earlier batches
       SinkTables.all(committedBatch.as[graft.operators.ExtractedDoc]).foreach {
         case (name, sinkDf) =>
-          new ParquetManifestTable(s"${a.outRoot}/$name").commit(sinkDf, batchId)
+          new ParquetManifestTable(s"${a.outRoot}/$name", a.tableFormat).commit(sinkDf, batchId)
       }
     }
 

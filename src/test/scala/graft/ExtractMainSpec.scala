@@ -10,6 +10,19 @@ import graft.sources.CrawlCorpus
 class ExtractMainSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  test("extract job: --table-format orc commits and resumes like parquet") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_job_orc_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_job_orc_out").toString
+    CrawlCorpus.crawl(spark, 12, 7L).toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--table-format", "orc", "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents", "orc")
+    assert(docs.committedBatches.size == 1)
+    assert(docs.read(spark).count() == 12)
+    // exact resume holds across the format too
+    Extract.main(Array(inDir, outDir, "--table-format", "orc", "--partitions", "2"))
+    assert(docs.committedBatches.size == 1)
+  }
+
   test("extract job: commit, exact resume no-op, incremental delta, sinks") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_job_in").toString

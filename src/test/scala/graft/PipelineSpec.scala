@@ -241,6 +241,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.read(spark).count() == 20)
   }
 
+  test("manifest table formats: orc round-trips binary columns; text formats rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_orc").toString
+    val t = new ParquetManifestTable(dir, "orc")
+    val df = Seq((1L, "a", Array[Byte](1, 2, 3)), (2L, "b", Array[Byte](0, -1, 127)))
+      .toDF("id", "s", "payload")
+    t.commit(df, "b1")
+    t.commit(df, "b1") // idempotent re-commit
+    assert(t.committedBatches == Seq("b1"))
+    val back = t.read(spark).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(1).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](0, -1, 127))
+    t.commit(df.where(col("id") === 1), "b2")
+    assert(t.read(spark).count() == 3)        // append union across batches
+    assert(t.readLatest(spark).count() == 1)  // replace-style newest only
+    // formats that cannot carry binary columns are rejected at construction
+    for (bad <- Seq("csv", "json", "avro"))
+      intercept[IllegalArgumentException] { new ParquetManifestTable(dir, bad) }
+  }
+
   test("metrics + error profile") {
     val docs = ExtractPipeline.extractDocs(
       ExtractPipeline.saltedRepartitionByUrl(corpus(72), 8))
