@@ -84,12 +84,19 @@ case class GraftText(left: Expression, right: Expression) extends BinaryExpressi
   * this library is reachable from plain SQL (q31 exercises the mechanism). */
 object GraftFunctionSet {
   import org.apache.spark.sql.catalyst.expressions.Literal
-  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.types.{IntegerType, LongType}
 
   private def intLit(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name expects a literal integer parameter, got $other")
+  }
+
+  private def longLit(name: String, e: Expression): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integral parameter, got $other")
   }
 
   private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
@@ -148,6 +155,11 @@ object GraftFunctionSet {
     "approx_quantiles" -> (args => {
       val a = arity("approx_quantiles", 2)(args)
       ApproxQuantiles(a(0), intLit("approx_quantiles", a(1)))
+    }),
+    // single-probe SQL form; the Scala API takes a probe sequence
+    "approx_ranks" -> (args => {
+      val a = arity("approx_ranks", 3)(args)
+      ApproxRanks(a(0), intLit("approx_ranks", a(1)), Seq(longLit("approx_ranks", a(2))))
     }))
 }
 

@@ -97,10 +97,10 @@ final class QuantileBuffer(val k: Int) {
     }
   }
 
-  /** Lower-rank selection over the weighted survivors: smallest value
-    * whose cumulative weight reaches ceil(p * n). */
-  def quantiles(ps: Seq[Double]): Array[Long] = {
-    if (n == 0) return Array.fill(ps.length)(0L)
+  /** All surviving (value, weight) pairs sorted by value, plus the total
+    * surviving weight — the shared base of the two query directions
+    * ([[quantiles]]: rank -> value; [[ranks]]: value -> rank). */
+  private def survivors(): (Array[Long], Array[Long], Long) = {
     var m = level0Len
     var lvl = 1
     while (lvl < levels.length) { m += levels(lvl).length; lvl += 1 }
@@ -118,9 +118,35 @@ final class QuantileBuffer(val k: Int) {
     }
     // sort survivors by value, carrying weights
     val idx = (0 until m).sortBy(vals)
-    val sortedV = idx.map(vals).toArray
-    val sortedW = idx.map(wts).toArray
-    val totalW = sortedW.sum
+    (idx.map(vals).toArray, idx.map(wts).toArray, wts.sum)
+  }
+
+  /** Estimated rank of each probe value: the count of inputs <= probe,
+    * rescaled from surviving weight mass to n — the INVERSE query of
+    * [[quantiles]] (value -> rank instead of rank -> value), same error
+    * bound, same summary. rank(x) in [0, n]; 0 when x precedes every
+    * input, n when it follows all of them. */
+  def ranks(probes: Seq[Long]): Array[Long] = {
+    if (n == 0) return Array.fill(probes.length)(0L)
+    val (sortedV, sortedW, totalW) = survivors()
+    val m = sortedV.length
+    probes.map { x =>
+      // binary search for the first value > x, then the cumulative weight
+      // below it (prefix sums are m-small — computed once per probe set
+      // would also work, but m <= k log(n/k) keeps the scan trivial)
+      var cum = 0L
+      var j = 0
+      while (j < m && sortedV(j) <= x) { cum += sortedW(j); j += 1 }
+      if (totalW == 0L) 0L else math.round(cum.toDouble / totalW * n)
+    }.toArray
+  }
+
+  /** Lower-rank selection over the weighted survivors: smallest value
+    * whose cumulative weight reaches ceil(p * n). */
+  def quantiles(ps: Seq[Double]): Array[Long] = {
+    if (n == 0) return Array.fill(ps.length)(0L)
+    val (sortedV, sortedW, totalW) = survivors()
+    val m = sortedV.length
     ps.map { p =>
       // ranks scale to the SURVIVOR weight mass (compaction drops mass in
       // level-0 remainders only through promote; totalW == n except for
@@ -140,28 +166,19 @@ final class QuantileBuffer(val k: Int) {
   }
 }
 
-/** Aggregate form: `approx_quantiles(v, k)` returns
-  * struct<n:bigint, p50:bigint, p90:bigint, p99:bigint> (the Scala API
-  * takes arbitrary ps). Input casts to long like exactQuantiles. */
-case class ApproxQuantiles(child: Expression, k: Int,
-                           ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
-                           mutableAggBufferOffset: Int = 0,
-                           inputAggBufferOffset: Int = 0)
+/** The buffer plumbing (typing, create/update/merge, byte round-trip)
+  * shared by the two query directions over the same sketch —
+  * [[ApproxQuantiles]] (rank -> value) and [[ApproxRanks]] (value ->
+  * rank). */
+trait QuantileSketchAggregate
   extends TypedImperativeAggregate[QuantileBuffer] with UnaryLike[Expression] {
-
-  require(k >= 8 && k <= (1 << 20), s"approx_quantiles requires 8 <= k <= 2^20, got $k")
-  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-    s"quantiles must lie in (0, 1], got $ps")
+  def k: Int
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType || child.dataType == IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"approx_quantiles requires an integral column, got ${child.dataType.sql}")
-
-  override def dataType: DataType = StructType(
-    StructField("n", LongType, nullable = false) +:
-      ps.map(p => StructField(QuantileNames.pName(p), LongType, nullable = false)))
+      s"$prettyName requires an integral column, got ${child.dataType.sql}")
 
   override def nullable: Boolean = false
   override def createAggregationBuffer(): QuantileBuffer = new QuantileBuffer(k)
@@ -179,9 +196,6 @@ case class ApproxQuantiles(child: Expression, k: Int,
     buffer.mergeFrom(other)
     buffer
   }
-
-  override def eval(buffer: QuantileBuffer): Any =
-    new GenericInternalRow((buffer.n +: buffer.quantiles(ps).toSeq).toArray[Any])
 
   override def serialize(buffer: QuantileBuffer): Array[Byte] = {
     var bytes = 8 + 4 + 4 // n, level0Len, nLevels
@@ -224,6 +238,28 @@ case class ApproxQuantiles(child: Expression, k: Int,
     buf
   }
 
+}
+
+/** Aggregate form: `approx_quantiles(v, k)` returns
+  * struct<n:bigint, p50:bigint, p90:bigint, p99:bigint> (the Scala API
+  * takes arbitrary ps). Input casts to long like exactQuantiles. */
+case class ApproxQuantiles(child: Expression, k: Int,
+                           ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends QuantileSketchAggregate {
+
+  require(k >= 8 && k <= (1 << 20), s"approx_quantiles requires 8 <= k <= 2^20, got $k")
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+    s"quantiles must lie in (0, 1], got $ps")
+
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      ps.map(p => StructField(QuantileNames.pName(p), LongType, nullable = false)))
+
+  override def eval(buffer: QuantileBuffer): Any =
+    new GenericInternalRow((buffer.n +: buffer.quantiles(ps).toSeq).toArray[Any])
+
   override def withNewMutableAggBufferOffset(newOffset: Int): ApproxQuantiles =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): ApproxQuantiles =
@@ -231,6 +267,39 @@ case class ApproxQuantiles(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression): ApproxQuantiles =
     copy(child = newChild)
   override def prettyName: String = "approx_quantiles"
+}
+
+/** The inverse query: `approx_ranks(v, k, probe)` estimates, for each
+  * probe value, HOW MANY inputs are <= it (a CDF point scaled to counts)
+  * from the same mergeable summary `approx_quantiles` maintains — the
+  * question a threshold chooser asks ("how many documents fall below
+  * this score?") without a second exact pass. Same rank-error bound,
+  * same O(k log(n/k)) bytes per group. */
+case class ApproxRanks(child: Expression, k: Int,
+                       probes: Seq[Long],
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends QuantileSketchAggregate {
+
+  require(k >= 8 && k <= (1 << 20), s"approx_ranks requires 8 <= k <= 2^20, got $k")
+  require(probes.nonEmpty, "approx_ranks requires at least one probe value")
+  require(probes == probes.sorted && probes.distinct == probes,
+    s"probes must be strictly increasing, got $probes")
+
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      probes.map(v => StructField(QuantileNames.rName(v), LongType, nullable = false)))
+
+  override def eval(buffer: QuantileBuffer): Any =
+    new GenericInternalRow((buffer.n +: buffer.ranks(probes).toSeq).toArray[Any])
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxRanks =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxRanks =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ApproxRanks =
+    copy(child = newChild)
+  override def prettyName: String = "approx_ranks"
 }
 
 /** Quantile-name formatting shared with Stats.exactQuantiles so the two
@@ -243,6 +312,10 @@ object QuantileNames {
     val b = (p * 100).round
     if (math.abs(b.toDouble - p * 100) < 1e-9) s"p$b" else s"p${(p * 10000).round}bp"
   }
+
+  /** Column name for a rank probe: `r_<value>` with '-' spelled 'm'
+    * (column names cannot carry a bare minus through every SQL surface). */
+  def rName(v: Long): String = s"r_$v".replace("-", "m")
 }
 
 object QuantileFunctions {
@@ -251,4 +324,8 @@ object QuantileFunctions {
                       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): Column =
     ColumnBridge.column(
       ApproxQuantiles(ColumnBridge.expression(v), k, ps).toAggregateExpression())
+
+  def approxRanks(v: Column, k: Int, probes: Seq[Long]): Column =
+    ColumnBridge.column(
+      ApproxRanks(ColumnBridge.expression(v), k, probes).toAggregateExpression())
 }

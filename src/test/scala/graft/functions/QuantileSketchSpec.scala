@@ -113,6 +113,70 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("approx_ranks: inverse query within the rank bound across distributions and partitionings") {
+    def exactRank(sorted: Array[Long], x: Long): Long = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+    val uniform = (1L to 100000L).toSeq
+    val skewed = (1L to 100000L).map(i => i * i % 999983L)
+    val heavy = Seq.fill(50000)(7L) ++ (1L to 50000L)
+    for ((values, tag) <- Seq((uniform, "uniform"), (skewed, "skewed"), (heavy, "heavy"));
+         parts <- Seq(1, 4, 13)) {
+      val sorted = values.sorted.toArray
+      val n = sorted.length.toLong
+      val probes = Seq(sorted(0) - 1, sorted(n.toInt / 10), sorted(n.toInt / 2),
+        sorted(n.toInt - n.toInt / 100), sorted.last + 1).distinct.sorted
+      val out = values.toDF("v").repartition(parts)
+        .agg(QuantileFunctions.approxRanks(col("v"), K, probes).as("r"))
+        .select("r.*").head()
+      assert(out.getLong(0) == n)
+      probes.zipWithIndex.foreach { case (x, i) =>
+        val est = out.getLong(i + 1)
+        val err = math.abs(est - exactRank(sorted, x)).toDouble / n
+        assert(err <= RankTol, s"$tag/$parts probe=$x est=$est exact=${exactRank(sorted, x)}")
+      }
+      // CDF points are monotone in the probe by construction
+      val ests = probes.indices.map(i => out.getLong(i + 1))
+      assert(ests == ests.sorted)
+      // below-min probes report 0, above-max report n (exactly)
+      assert(out.getLong(1) == 0L && ests.last == n)
+    }
+  }
+
+  test("approx_ranks: small inputs exact; nulls ignored; SQL form matches the API") {
+    val vs = Seq(5L, 1L, 9L, 3L, 7L)
+    val out = vs.toDF("v").coalesce(1)
+      .agg(QuantileFunctions.approxRanks(col("v"), K, Seq(0L, 3L, 9L)).as("r"))
+      .select("r.*").head()
+    assert(out.toSeq == Seq(5L, 0L, 2L, 5L))
+    val withNulls = Seq(Some(1L), None, Some(3L)).toDF("v")
+      .agg(QuantileFunctions.approxRanks(col("v"), K, Seq(2L)).as("r"))
+      .select("r.*").head()
+    assert(withNulls.toSeq == Seq(2L, 1L))
+    GraftFunctions.register(spark)
+    (1L to 9999L).toDF("v").createOrReplaceTempView("ar_items")
+    val viaSql = spark.sql(s"SELECT approx_ranks(v, $K, 5000L) AS r FROM ar_items")
+      .select("r.*").head()
+    val viaApi = (1L to 9999L).toDF("v")
+      .agg(QuantileFunctions.approxRanks(col("v"), K, Seq(5000L)).as("r"))
+      .select("r.*").head()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // negative probes name with 'm' (no bare minus in a struct field)
+    val neg = Seq(-5L, 0L, 5L).toDF("v")
+      .agg(QuantileFunctions.approxRanks(col("v"), K, Seq(-5L)).as("r"))
+      .select("r.*")
+    assert(neg.columns.toSeq == Seq("n", "r_m5"))
+    assert(neg.head().toSeq == Seq(3L, 1L))
+    intercept[IllegalArgumentException] {
+      Seq(1L).toDF("v").agg(QuantileFunctions.approxRanks(col("v"), K, Seq(3L, 1L))).head()
+    }
+  }
+
   test("k bounds and p bounds are require-guarded") {
     intercept[IllegalArgumentException] {
       Seq(1L).toDF("v").agg(QuantileFunctions.approxQuantiles(col("v"), 4)).head()
