@@ -253,6 +253,54 @@ object WebCuration {
       keepFirstSpansSqlRecipe(table, idCol, textCol, w))
   }
 
+  /** [[keepFirstLines]] as ONE executable Spark-SQL statement over the
+    * registered natives (`token_chunks`) — the pure-SQL twin of
+    * [[keepFirstSpansSqlRecipe]] at line granularity. Same plan shape as
+    * the Scala operator: winner per line md5 is a min-struct AGGREGATE
+    * (no window over the md5 keyspace), reassembly is an ordered
+    * collect per document, and every document re-anchors through a
+    * null-safe LEFT JOIN (null-text docs report 0/0/NULL). The Scala
+    * API's duplicate-id guard is the one part SQL can't express cheaply;
+    * the recipe documents the ids-unique precondition instead. */
+  def keepFirstLinesSqlRecipe(table: String, idCol: String, textCol: String,
+                              chunk: Int = 8): String = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    import SqlIdent.{col => q, table => qt}
+    val (id, text) = (q(idCol), q(textCol))
+    s"""WITH __docs AS (
+       |  SELECT $id AS id, $text AS text FROM ${qt(table)}
+       |), __lines AS (
+       |  SELECT id, c.chunk_idx AS idx, c.chunk AS line, md5(c.chunk) AS lmd5
+       |  FROM __docs LATERAL VIEW explode(token_chunks(text, $chunk, $chunk)) AS c
+       |  WHERE text IS NOT NULL
+       |), __win AS (
+       |  SELECT lmd5, min(struct(id, idx)) AS w FROM __lines GROUP BY lmd5
+       |), __kept AS (
+       |  SELECT l.id, count(1) AS n_lines,
+       |         sum(CASE WHEN struct(l.id, l.idx) = __win.w THEN 1L ELSE 0L END) AS n_kept,
+       |         array_join(transform(array_sort(collect_list(
+       |           CASE WHEN struct(l.id, l.idx) = __win.w THEN struct(l.idx, l.line) END)),
+       |           s -> s.line), '\n') AS joined
+       |  FROM __lines l JOIN __win ON l.lmd5 = __win.lmd5
+       |  GROUP BY l.id
+       |)
+       |SELECT d.id, coalesce(k.n_lines, 0L) AS n_lines,
+       |       coalesce(k.n_kept, 0L) AS n_kept,
+       |       CASE WHEN coalesce(k.n_kept, 0L) > 0 THEN k.joined END AS clean_text
+       |FROM __docs d LEFT JOIN __kept k ON d.id <=> k.id""".stripMargin
+  }
+
+  /** Register [[keepFirstLinesSqlRecipe]] as a named temp view — the
+    * pure-SQL entry point mirroring [[registerKeepFirstSpansView]]. */
+  def registerKeepFirstLinesView(spark: org.apache.spark.sql.SparkSession,
+                                 viewName: String, table: String,
+                                 idCol: String, textCol: String,
+                                 chunk: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      keepFirstLinesSqlRecipe(table, idCol, textCol, chunk))
+  }
+
   // ---------- PII ----------
 
   /** Conservative ASCII PII patterns, deliberately restricted to syntax

@@ -142,6 +142,18 @@ class WebCurationSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql == viaApi)
   }
 
+  test("keepFirstLines SQL recipe + registered view reproduce the operator on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("kfl_sql_docs")
+    WebCuration.registerKeepFirstLinesView(spark, "kfl_sql_view",
+      "kfl_sql_docs", "doc_id", "text", chunk = 8)
+    val viaSql = spark.sql("SELECT * FROM kfl_sql_view ORDER BY id")
+      .collect().map(_.toString).toSeq
+    val viaApi = WebCuration.keepFirstLines(docs, "doc_id", "text", chunk = 8)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("capPerDomain: top-k per domain by (score desc, id asc); out-of-range ids loud") {
     val df = Seq(
       (1L, "https://a.com/x", 50L), (2L, "https://a.com/y", 70L),
