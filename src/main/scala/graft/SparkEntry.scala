@@ -761,7 +761,22 @@ object SparkEntry {
     // the whole composition vs one DuckDB oracle
     "q67_curate_qreps" -> ((s, dir) =>
       Curate.curate(docsWithDups(s, dir), qualityReps = true)
-        .orderBy(col("detected_lang"), col("doc_id")))
+        .orderBy(col("detected_lang"), col("doc_id"))),
+
+    // bloom-prefiltered decontamination: the broadcastable-membership
+    // scale path (benchmark as a ~10-bit/shingle filter probed map-side,
+    // exact confirm join on survivors only) — output bit-identical to the
+    // exact flag() by construction, so the oracle is the same brute-force
+    // set-overlap SQL; params differ from q52 (w=4, %40, minOverlap=2) so
+    // the two queries exercise independent shingle spaces
+    "q69_decon_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.flagBloom(docs, docs.where(col("doc_id") % 40 === 0),
+          "doc_id", "text", w = 4, minOverlap = 2L, bitsPerShingle = 9)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -1705,6 +1720,34 @@ object SparkEntry {
                 coalesce(m.n_shingles, 0) AS n_shingles,
                 coalesce(m.n_matched, 0) AS n_matched,
                 CAST(coalesce(m.n_matched, 0) >= 3 AS BIGINT) AS contaminated
+         FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
+
+    // identical brute-force set overlap as q52's oracle — the bloom
+    // prefilter + exact confirm must be output-identical to the exact
+    // operator; only the params differ (4-token shingles, every 40th doc
+    // as the benchmark, overlap threshold 2)
+    "q69_decon_bloom" ->
+      """WITH ctok AS (
+           SELECT doc_id, string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL
+         ), csh AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS sh
+           FROM ctok, unnest(generate_series(1, len(ts) - 3)) AS t(i)
+         ), btok AS (
+           SELECT string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL AND doc_id % 40 = 0
+         ), bsh AS (
+           SELECT DISTINCT md5(array_to_string(ts[i:i+3], ' ')) AS sh
+           FROM btok, unnest(generate_series(1, len(ts) - 3)) AS t(i)
+         ), m AS (
+           SELECT c.doc_id, count(*) AS n_shingles, count(b.sh) AS n_matched
+           FROM csh c LEFT JOIN bsh b USING (sh) GROUP BY c.doc_id
+         )
+         SELECT d.doc_id,
+                coalesce(m.n_shingles, 0) AS n_shingles,
+                coalesce(m.n_matched, 0) AS n_matched,
+                CAST(coalesce(m.n_matched, 0) >= 2 AS BIGINT) AS contaminated
          FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
          ORDER BY doc_id""",
 

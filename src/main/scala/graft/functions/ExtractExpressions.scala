@@ -160,6 +160,18 @@ object GraftFunctionSet {
     "approx_ranks" -> (args => {
       val a = arity("approx_ranks", 3)(args)
       ApproxRanks(a(0), intLit("approx_ranks", a(1)), Seq(longLit("approx_ranks", a(2))))
+    }),
+    "bloom_build" -> (args => {
+      val a = arity("bloom_build", 3)(args)
+      BloomBuild(a(0), intLit("bloom_build", a(1)), intLit("bloom_build", a(2)))
+    }),
+    "bloom_might_contain" -> (args => {
+      val a = arity("bloom_might_contain", 2)(args)
+      BloomMightContain(a(0), a(1))
+    }),
+    "bloom_shingle_hits" -> (args => {
+      val a = arity("bloom_shingle_hits", 3)(args)
+      BloomShingleHits(a(0), a(1), intLit("bloom_shingle_hits", a(2)))
     }))
 }
 

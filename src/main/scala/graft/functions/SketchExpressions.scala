@@ -54,7 +54,7 @@ object SketchKernel {
     out
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -104,7 +104,7 @@ object SketchKernel {
     * j ends at starts(j+1) - 1. THE one copy of the boundary scan shared
     * by minhashSignature / shingleHashes / tokenChunks — tokenization
     * semantics must never diverge between the native expressions. */
-  @inline private def tokenStarts(s: UTF8String): Array[Int] = {
+  @inline private[functions] def tokenStarts(s: UTF8String): Array[Int] = {
     val n = s.numBytes
     var nTokens = 1
     var i = 0
@@ -492,7 +492,7 @@ object SketchKernel {
 
   private val HexDigits = "0123456789abcdef".getBytes
 
-  private def toHex(d: Array[Byte]): Array[Byte] = {
+  private[functions] def toHex(d: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](d.length * 2)
     var i = 0
     while (i < d.length) {

@@ -37,6 +37,37 @@ class DecontaminateSpec extends AnyFunSuite {
       (4L, 0L, 0L, false)))
   }
 
+  test("flagBloom == flag exactly, even with a tiny high-FP filter (exact confirm wins)") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i"),
+      (2L, "q w e zz yy xx"),
+      (3L, "totally different words here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "q w e r t y")).toDF("doc_id", "text") // fully contained in bench
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val exact = Decontaminate.flag(corpus, bench, "doc_id", "text", w = 3, minOverlap = 2L)
+      .orderBy("id").collect().toSeq
+    // bitsPerShingle = 2 -> ~40%+ false positives at the probe; the exact
+    // confirm join must erase every one of them
+    for (bits <- Seq(2, 10)) {
+      val got = Decontaminate.flagBloom(corpus, bench, "doc_id", "text",
+          w = 3, minOverlap = 2L, bitsPerShingle = bits)
+        .orderBy("id").collect().toSeq
+      assert(got == exact, s"bloom path must be output-identical (bits/key=$bits)")
+    }
+  }
+
+  test("flagBloom: empty benchmark -> all clean; zero-shingle docs keep their rows") {
+    val corpus = Seq((1L, "a b c d"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Decontaminate.flagBloom(corpus, bench, "doc_id", "text", w = 3, minOverlap = 1L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // doc 2 ("x") is shorter than w: zero shingles, still anchored
+    assert(out == Seq((1L, 2L, 0L, false), (2L, 0L, 0L, false), (3L, 0L, 0L, false)))
+  }
+
   test("excise: matched spans struck, bystanders byte-identical, full leak -> NULL, nulls kept") {
     val corpus = Seq(
       (1L, "q w e r t y u i"),      // head overlaps the benchmark phrase
