@@ -763,6 +763,22 @@ object SparkEntry {
       Curate.curate(docsWithDups(s, dir), qualityReps = true)
         .orderBy(col("detected_lang"), col("doc_id"))),
 
+    // PARAGRAPH-granularity keep-first dedup: the q57 discipline over
+    // separator-delimited units instead of fixed token chunks. The
+    // corpus carries no newlines, so paragraph structure is synthesized
+    // deterministically in-query (every ' the ' occurrence becomes a
+    // paragraph break — literal replace, identical left-to-right
+    // non-overlapping semantics in both engines), then each distinct
+    // paragraph survives only at its first (doc, idx) occurrence
+    "q68_keep_first_paragraphs" -> ((s, dir) => {
+      val para = docsWithDups(s, dir).select(col("doc_id"),
+        replace(col("text"), lit(" the "), lit("\n\n")).as("text"))
+      WebCuration.keepFirstUnits(para, "doc_id", "text", sep = "\n\n")
+        .select(col("id").as("doc_id"), col("n_units"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bloom-prefiltered decontamination: the broadcastable-membership
     // scale path (benchmark as a ~10-bit/shingle filter probed map-side,
     // exact confirm join on survivors only) — output bit-identical to the
@@ -1721,6 +1737,34 @@ object SparkEntry {
                 coalesce(m.n_matched, 0) AS n_matched,
                 CAST(coalesce(m.n_matched, 0) >= 3 AS BIGINT) AS contaminated
          FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
+
+    // q57's winner-key encoding (doc_id * 100000 + idx, valid because
+    // idx < 100000 everywhere) over paragraph units: split on the
+    // synthesized double-newline, drop empty units, keep each distinct
+    // paragraph's first (doc, idx) occurrence, rejoin with the separator
+    "q68_keep_first_paragraphs" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         pt AS (SELECT doc_id, replace(text, ' the ', chr(10)||chr(10)) AS t
+                FROM docs WHERE text IS NOT NULL),
+         lst AS (SELECT doc_id,
+                        list_filter(string_split(t, chr(10)||chr(10)), x -> x <> '') AS us
+                 FROM pt),
+         units AS (SELECT doc_id, i AS idx, us[i+1] AS unit, md5(us[i+1]) AS h
+                   FROM lst, unnest(range(len(us))) AS t(i)),
+         w AS (SELECT h, min(doc_id * 100000 + idx) AS wk FROM units GROUP BY h),
+         flagged AS (SELECT u.doc_id, u.idx, u.unit,
+                            (u.doc_id * 100000 + u.idx) = w.wk AS keep
+                     FROM units u JOIN w USING (h)),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN keep THEN unit END, chr(10)||chr(10) ORDER BY idx)) AS clean_md5
+         FROM flagged GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.n_units, 0) AS BIGINT) AS n_units,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.clean_md5
+         FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
 
     // identical brute-force set overlap as q52's oracle — the bloom

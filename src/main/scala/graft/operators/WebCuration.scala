@@ -100,15 +100,15 @@ object WebCuration {
       sep)
 
   /** Row-level form of the reassembly: `flagged` = (id, idx, line, keep)
-    * rows; surviving lines rejoin in index order. One row per id present
-    * in `flagged`: (id, n_lines, n_kept, joined). */
-  private[graft] def reassembleKept(flagged: DataFrame): DataFrame =
+    * rows; surviving lines rejoin in index order with `sep`. One row per
+    * id present in `flagged`: (id, n_lines, n_kept, joined). */
+  private[graft] def reassembleKept(flagged: DataFrame, sep: String = "\n"): DataFrame =
     flagged
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sortedJoin(when(col("keep"), struct(col("idx"), col("line"))), "line", "\n")
+        sortedJoin(when(col("keep"), struct(col("idx"), col("line"))), "line", sep)
           .as("joined"))
 
   /** Cross-document KEEP-FIRST line dedup (the C4/"Deduplicating Training
@@ -131,9 +131,58 @@ object WebCuration {
     * that IS the output (PlanSpec-asserted). */
   def keepFirstLines(df: DataFrame, idCol: String, textCol: String,
                      chunk: Int = 8, materialize: Boolean = true,
-                     reliableCheckpoint: Boolean = false): DataFrame = {
+                     reliableCheckpoint: Boolean = false): DataFrame =
+    keepFirstExploded(df, idCol,
+      posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")),
+      sep = "\n", op = "WebCuration.keepFirstLines", materialize, reliableCheckpoint)
+
+  /** Non-empty units of a LITERAL separator split, in order — the unit
+    * extractor for corpora with real structure markers: paragraphs on
+    * "\n\n", lines on "\n", sentences on ". ". Empty units (consecutive
+    * separators, leading/trailing) are dropped, like C4 drops empty
+    * lines; rejoining the survivors with the same separator therefore
+    * NORMALIZES separator runs — documented, deliberate. */
+  def sepUnits(textCol: Column, sep: String): Column = {
+    require(sep.nonEmpty, "sepUnits needs a non-empty separator")
+    array_remove(split(textCol, java.util.regex.Pattern.quote(sep)), "")
+  }
+
+  /** Cross-document KEEP-FIRST dedup at arbitrary UNIT granularity — the
+    * [[keepFirstLines]] discipline generalized to any literal separator.
+    * With sep = "\n\n" this is PARAGRAPH dedup (the C4/CCNet unit for
+    * real web text, where boilerplate repeats as whole paragraphs);
+    * "\n" gives true line dedup on newline-bearing corpora. Every
+    * distinct unit keeps exactly its lexicographically first (id, idx)
+    * occurrence; later copies (other documents or later in the same
+    * document) are struck, and survivors rejoin in original order with
+    * the same separator.
+    *
+    * Output: (id, n_units, n_kept, clean_text) — clean_text NULL when
+    * the text was null, had no non-empty units, or every unit occurred
+    * earlier elsewhere. Ids must be unique (checked anchor raise_errors).
+    * Scale shape identical to [[keepFirstLines]]: min-struct winner
+    * AGGREGATE per unit md5 (never a window over the md5 keyspace),
+    * compact (id, idx, md5) exchanges, unit text shuffling only on the
+    * (id, idx)-keyed join-back that feeds the output itself. */
+  def keepFirstUnits(df: DataFrame, idCol: String, textCol: String,
+                     sep: String, materialize: Boolean = true,
+                     reliableCheckpoint: Boolean = false): DataFrame =
+    keepFirstExploded(df, idCol,
+      posexplode(sepUnits(col(textCol), sep)).as(Seq("idx", "line")),
+      sep = sep, op = "WebCuration.keepFirstUnits", materialize, reliableCheckpoint)
+      .withColumnRenamed("n_lines", "n_units")
+
+  /** ONE copy of the keep-first machinery shared by [[keepFirstLines]]
+    * and [[keepFirstUnits]]: explode per `unitsExpr` (must produce
+    * (idx, line) columns), pick the lexicographically first (id, idx)
+    * occurrence per unit md5 with a map-side-combined min-struct
+    * aggregate, strike the rest, reassemble survivors with `sep`. */
+  private def keepFirstExploded(df: DataFrame, idCol: String,
+                                unitsExpr: Column, sep: String, op: String,
+                                materialize: Boolean,
+                                reliableCheckpoint: Boolean): DataFrame = {
     val exploded0 = df
-      .select(col(idCol).as("id"), posexplode(tokenLines(col(textCol), chunk)).as(Seq("idx", "line")))
+      .select(col(idCol).as("id"), unitsExpr)
       .withColumn("line_md5", md5(col("line")))
     val exploded =
       if (materialize) Dedup.checkpointDf(exploded0, reliableCheckpoint) else exploded0
@@ -148,8 +197,8 @@ object WebCuration {
       .select(col("id"), col("idx"),
         (struct(col("id"), col("idx")) === col("w")).as("keep"))
     val flagged = exploded.join(flags, Seq("id", "idx"))
-    Dedup.checkedIdAnchor(df, idCol, "WebCuration.keepFirstLines")
-      .join(reassembleKept(flagged), Seq("id"), "left")
+    Dedup.checkedIdAnchor(df, idCol, op)
+      .join(reassembleKept(flagged, sep), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -89,6 +89,51 @@ class WebCurationSpec extends AnyFunSuite {
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
+  test("keepFirstUnits: paragraph-granularity keep-first over a literal separator") {
+    // paragraphs on "\n\n". doc 1 owns P1, P2; doc 2 repeats P1 (struck)
+    // and owns P3; doc 3 repeats P2 twice (both struck — cross-doc AND
+    // within-doc); doc 4 null; doc 5 is only separators -> zero units;
+    // doc 6 has empty units from consecutive separators (dropped) and a
+    // leading separator (normalized away on rejoin)
+    val df = Seq(
+      (1L, "P one\n\nP two"),
+      (2L, "P one\n\nP three"),
+      (3L, "P two\n\nP two"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "\n\n\n\n"),
+      (6L, "\n\nP four\n\n\n\nP five")).toDF("doc_id", "text")
+    val out = WebCuration.keepFirstUnits(df, "doc_id", "text", sep = "\n\n")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "P one\n\nP two"),
+      (2L, 2L, 1L, "P three"),
+      (3L, 2L, 0L, null),
+      (4L, 0L, 0L, null),
+      (5L, 0L, 0L, null),
+      (6L, 2L, 2L, "P four\n\nP five")))
+    // duplicate ids are loud through the shared anchor
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      WebCuration.keepFirstUnits(dup, "doc_id", "text", sep = "\n\n").collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+  }
+
+  test("keepFirstUnits with a sentence separator: '. '-delimited units dedup the same way") {
+    val df = Seq(
+      (10L, "alpha. beta. alpha"),
+      (20L, "beta. gamma")).toDF("doc_id", "text")
+    val out = WebCuration.keepFirstUnits(df, "doc_id", "text", sep = ". ")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // doc 10 units: [alpha, beta, alpha] -> second "alpha" struck in-doc;
+    // doc 20: "beta" lost to doc 10, keeps "gamma"
+    assert(out == Seq(
+      (10L, 3L, 2L, "alpha. beta"),
+      (20L, 2L, 1L, "gamma")))
+  }
+
   test("keepFirstSpans: global first (id, pos) per shingle survives; later copies excised") {
     // w=2 spans. doc 1 owns "aa bb", "bb cc", "cc dd"; doc 2 repeats
     // "aa bb" at pos 0 (cover 0,1) and introduces "ee ff"; doc 3 is a
