@@ -278,6 +278,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontaminate: text never shuffles; the probe runs map-side over the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.Decontaminate.flagBloom(docs,
+      docs.where(col("doc_id") % 50 === 0), "doc_id", "text", w = 5, minOverlap = 3L,
+      materialize = false)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "text" || n == "p" || n == "hits"),
+        s"shuffle carries ${names.mkString(",")}")
+    }
+    // the probe expression sits below every exchange: the corpus-side
+    // scan feeds bloom_shingle_hits directly, so non-hit shingles die on
+    // the executor that read the document
+    val planStr = withAqeOff(plan(out))
+    assert(planStr.contains("bloom_shingle_hits"), "probe must appear in the plan")
+  }
+
+  test("keep-first units: winner is an aggregate, never a window over the md5 keyspace") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.WebCuration.keepFirstUnits(
+      docs.select(col("doc_id"), translate(col("text"), " ", "\n").as("text")),
+      "doc_id", "text", sep = "\n", materialize = false)
+    val planStr = withAqeOff(plan(out))
+    assert(!planStr.contains("Window"), "keep-first must not plan a window")
+    val shuffles = collectShuffles(out)
+    // unit text may only ride exchanges keyed by (id) or (id, idx) — the
+    // winner/flag exchanges over the md5 keyspace must be text-free
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      val keyed = s.outputPartitioning.toString
+      if (names.contains("line"))
+        assert(keyed.contains("id"), s"unit text on a non-id-keyed exchange: $keyed")
+    }
+  }
+
   test("leak report: every exchange carries shingle md5s and ids, never text or chunks") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = graft.operators.Decontaminate.leakReport(docs,
