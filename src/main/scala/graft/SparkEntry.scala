@@ -410,6 +410,17 @@ object SparkEntry {
             .where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")))
         .orderBy(col("detected_lang"), col("doc_id"))),
 
+    // q56's exact pipeline with the decontamination stage swapped to the
+    // bloom-prefiltered plan — same output by construction, so the oracle
+    // is q56's verbatim (derived in oracleSql); proves the scale path
+    // composes inside the full pipeline, not just standalone
+    "q70_curate_decon_bloom" -> ((s, dir) =>
+      Curate.curate(docsWithDups(s, dir),
+          decontaminateAgainst = t(s, dir, "documents")
+            .where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")),
+          deconViaBloom = true)
+        .orderBy(col("detected_lang"), col("doc_id"))),
+
     "q30_html_extract" -> ((s, dir) =>
       ExtractPipeline.extractDocs(CrawlCorpus.crawl(s, 101, 42L)).toDF()
         .where(col("kind") === "html")
@@ -811,7 +822,10 @@ object SparkEntry {
          kept AS (SELECT jq.* FROM jq JOIN rk USING (doc_id) WHERE rk.rn = 1)"""
     val q38 = m("q38_curate")
     require(q38.contains(minIdKept), "q38 oracle drifted from the q67 derivation anchor")
-    m + ("q67_curate_qreps" -> q38.replace(minIdKept, qrepsKept))
+    m + ("q67_curate_qreps" -> q38.replace(minIdKept, qrepsKept)) +
+      // q70 IS q56 semantically (the bloom prefilter is output-invisible);
+      // sharing the oracle string keeps that claim checked, not asserted
+      ("q70_curate_decon_bloom" -> m("q56_curate_decon"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -39,7 +39,8 @@ object Curate {
              decontaminateAgainst: DataFrame = null,
              decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L,
              dedupSpansW: Int = 0,
-             qualityReps: Boolean = false): DataFrame = {
+             qualityReps: Boolean = false,
+             deconViaBloom: Boolean = false): DataFrame = {
     // -1. optional WITHIN-doc repeated-span removal (dedupSpansW > 0) as
     // the very first rewrite: it is a pure map over each document alone
     // (zero shuffle), so it runs before any cross-document stage — a
@@ -149,10 +150,19 @@ object Curate {
         // gates+dedup+CC lineage. Anti-join the (tiny, broadcastable)
         // CONTAMINATED id set rather than semi-joining all clean ids.
         val kb = Dedup.checkpointDf(kept0, reliableCheckpoint)
-        val contaminated = Decontaminate.flag(
-            kb.select(col("doc_id").as(idCol), col("text").as(textCol)),
-            decontaminateAgainst, idCol, textCol,
-            w = decontaminateW, minOverlap = decontaminateMinOverlap)
+        val corpus = kb.select(col("doc_id").as(idCol), col("text").as(textCol))
+        // deconViaBloom swaps in the bloom-prefiltered plan — output
+        // identical by construction (q70 shares q56's oracle verbatim),
+        // chosen when the benchmark shingle set is too large to broadcast
+        val flagged =
+          if (deconViaBloom)
+            Decontaminate.flagBloom(corpus, decontaminateAgainst, idCol, textCol,
+              w = decontaminateW, minOverlap = decontaminateMinOverlap,
+              reliableCheckpoint = reliableCheckpoint)
+          else
+            Decontaminate.flag(corpus, decontaminateAgainst, idCol, textCol,
+              w = decontaminateW, minOverlap = decontaminateMinOverlap)
+        val contaminated = flagged
           .where(col("contaminated")).select(col("id").as("doc_id"))
         kb.join(contaminated, Seq("doc_id"), "left_anti")
       }

@@ -101,6 +101,28 @@ object StreamingCuration {
           fresh, benchSh, "id", "text", w, minOverlap)
     }
 
+  /** [[startDecontaminate]] through the bloom-prefiltered plan: the
+    * benchmark reduces to its shingle set AND a serialized Bloom filter
+    * ONCE, before the stream starts; every micro-batch then probes
+    * map-side and exact-confirms only survivors — per-batch work scales
+    * with the batch's contamination, not with batch x benchmark. Output
+    * rows are identical to [[startDecontaminate]]'s by the
+    * no-false-negative + exact-confirm construction (parity-spec'd). */
+  def startDecontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+                              outRoot: String, checkpointDir: String,
+                              w: Int = 13, minOverlap: Long = 3L,
+                              bitsPerShingle: Int = 10,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startAgainstBenchmark(docs, benchmark, outRoot, checkpointDir, w, trigger) {
+      var filter: Array[Byte] = null // built on first use, after benchSh is cached
+      (fresh, benchSh) => {
+        if (filter == null)
+          filter = graft.operators.Decontaminate.buildShingleFilter(benchSh, bitsPerShingle)
+        graft.operators.Decontaminate.flagWithBloomFilter(
+          fresh, benchSh, filter, "id", "text", w, minOverlap)
+      }
+    }
+
   /** Streaming SPAN-LEVEL decontamination — the excision sibling of
     * [[startDecontaminate]], same stateless per-batch shape (matched spans
     * depend only on the doc's own shingles and the fixed benchmark set):

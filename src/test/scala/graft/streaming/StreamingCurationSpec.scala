@@ -122,6 +122,41 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed.size == 4)
   }
 
+  test("streaming bloom decontaminate == batch flag across two deliveries (filter built once)") {
+    import graft.operators.Decontaminate
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdb_in").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_sdb_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sdb_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val bench = Seq((100L, "q w e r t y")).toDF("id", "text")
+
+    def run(): Unit = {
+      // bitsPerShingle=2 forces a high-FP filter: the exact confirm join
+      // must still make the streamed rows equal the exact batch flag
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.startDecontaminateBloom(stream, bench, outRoot, ckDir,
+        w = 3, minOverlap = 2L, bitsPerShingle = 2)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
+    }
+    val d1 = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"))
+    val d2 = Seq((3L, "q w e zz q w e r"), (1L, "redelivered ignored"),
+      (4L, null.asInstanceOf[String]))
+    d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
+    d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
+
+    val streamed = new graft.sources.ParquetManifestTable(outRoot).read(spark)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val firstSeen = Seq((1L, "q w e r t y u i"), (2L, "clean words only here"),
+      (3L, "q w e zz q w e r"), (4L, null.asInstanceOf[String]))
+    val batch = Decontaminate.flag(firstSeen.toDF("id", "text"), bench, "id", "text",
+        w = 3, minOverlap = 2L)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+  }
+
   test("streaming span excision across two deliveries == batch excise over the first-seen union") {
     import graft.operators.Decontaminate
     val inDir = java.nio.file.Files.createTempDirectory("graft_sex_in").toString
