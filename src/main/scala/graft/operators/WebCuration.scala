@@ -339,6 +339,50 @@ object WebCuration {
        |FROM __docs d LEFT JOIN __kept k ON d.id <=> k.id""".stripMargin
   }
 
+  /** [[keepFirstUnits]] as ONE executable Spark-SQL statement — pure
+    * builtins (no natives needed: the unit split is `split` on the
+    * regex-quoted literal separator with empties removed). Same plan
+    * shape and same documented ids-unique precondition as the line/span
+    * recipes. Parity-asserted against the operator (WebCurationSpec). */
+  def keepFirstUnitsSqlRecipe(table: String, idCol: String, textCol: String,
+                              sep: String): String = {
+    require(sep.nonEmpty, "keepFirstUnitsSqlRecipe needs a non-empty separator")
+    import SqlIdent.{col => q, strLit, table => qt}
+    val (id, text) = (q(idCol), q(textCol))
+    val sepPat = strLit(java.util.regex.Pattern.quote(sep))
+    val sepLit = strLit(sep)
+    s"""WITH __docs AS (
+       |  SELECT $id AS id, $text AS text FROM ${qt(table)}
+       |), __units AS (
+       |  SELECT id, idx, unit, md5(unit) AS um
+       |  FROM __docs
+       |  LATERAL VIEW posexplode(array_remove(split(text, $sepPat), '')) AS idx, unit
+       |  WHERE text IS NOT NULL
+       |), __win AS (
+       |  SELECT um, min(struct(id, idx)) AS w FROM __units GROUP BY um
+       |), __kept AS (
+       |  SELECT u.id, count(1) AS n_units,
+       |         sum(CASE WHEN struct(u.id, u.idx) = __win.w THEN 1L ELSE 0L END) AS n_kept,
+       |         array_join(transform(array_sort(collect_list(
+       |           CASE WHEN struct(u.id, u.idx) = __win.w THEN struct(u.idx, u.unit) END)),
+       |           s -> s.unit), $sepLit) AS joined
+       |  FROM __units u JOIN __win ON u.um = __win.um
+       |  GROUP BY u.id
+       |)
+       |SELECT d.id, coalesce(k.n_units, 0L) AS n_units,
+       |       coalesce(k.n_kept, 0L) AS n_kept,
+       |       CASE WHEN coalesce(k.n_kept, 0L) > 0 THEN k.joined END AS clean_text
+       |FROM __docs d LEFT JOIN __kept k ON d.id <=> k.id""".stripMargin
+  }
+
+  /** Register [[keepFirstUnitsSqlRecipe]] as a named temp view. */
+  def registerKeepFirstUnitsView(spark: org.apache.spark.sql.SparkSession,
+                                 viewName: String, table: String,
+                                 idCol: String, textCol: String,
+                                 sep: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      keepFirstUnitsSqlRecipe(table, idCol, textCol, sep))
+
   /** Register [[keepFirstLinesSqlRecipe]] as a named temp view — the
     * pure-SQL entry point mirroring [[registerKeepFirstSpansView]]. */
   def registerKeepFirstLinesView(spark: org.apache.spark.sql.SparkSession,

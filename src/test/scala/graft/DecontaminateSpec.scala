@@ -57,6 +57,20 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("flag SQL recipe + registered view reproduce the operator on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("decon_sql_docs")
+    docs.where(col("doc_id") % 50 === 0).createOrReplaceTempView("decon_sql_bench")
+    Decontaminate.registerFlagView(spark, "decon_sql_view",
+      "decon_sql_docs", "decon_sql_bench", "doc_id", "text", w = 5, minOverlap = 3L)
+    val viaSql = spark.sql("SELECT * FROM decon_sql_view ORDER BY id")
+      .collect().map(_.toString).toSeq
+    val viaApi = Decontaminate.flag(docs, docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", w = 5, minOverlap = 3L)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("flagBloom: empty benchmark -> all clean; zero-shingle docs keep their rows") {
     val corpus = Seq((1L, "a b c d"), (2L, "x"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -134,6 +134,20 @@ class WebCurationSpec extends AnyFunSuite {
       (20L, 2L, 1L, "gamma")))
   }
 
+  test("keepFirstUnits SQL recipe + registered view reproduce the operator (paragraphs)") {
+    val para = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n\n").as("text"))
+    para.createOrReplaceTempView("kfu_sql_docs")
+    WebCuration.registerKeepFirstUnitsView(spark, "kfu_sql_view",
+      "kfu_sql_docs", "doc_id", "text", sep = "\n\n")
+    val viaSql = spark.sql("SELECT * FROM kfu_sql_view ORDER BY id")
+      .collect().map(_.toString).toSeq
+    val viaApi = WebCuration.keepFirstUnits(para, "doc_id", "text", sep = "\n\n")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("keepFirstSpans: global first (id, pos) per shingle survives; later copies excised") {
     // w=2 spans. doc 1 owns "aa bb", "bb cc", "cc dd"; doc 2 repeats
     // "aa bb" at pos 0 (cover 0,1) and introduces "ee ff"; doc 3 is a
