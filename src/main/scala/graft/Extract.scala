@@ -14,7 +14,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
-  *   [--dedup-spans W] [--quality-reps] [--table-format parquet|orc]
+  *   [--decontaminate-bloom] [--dedup-spans W] [--quality-reps] [--table-format parquet|orc]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -37,7 +37,8 @@ object Extract {
       objectStreams: Boolean = false, sinks: Boolean = false,
       curate: Boolean = false, partitions: Int = 0,
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
-      decontaminate: String = null, dedupSpansW: Int = 0,
+      decontaminate: String = null, deconBloom: Boolean = false,
+      dedupSpansW: Int = 0,
       qualityReps: Boolean = false, tableFormat: String = "parquet")
 
   private def parse(argv: Array[String]): Args = {
@@ -60,6 +61,7 @@ object Extract {
         case "--curate"           => a = a.copy(curate = true); i += 1
         case "--strip-boilerplate" => a = a.copy(stripBoilerplate = true); i += 1
         case "--decontaminate"    => a = a.copy(decontaminate = value("--decontaminate")); i += 2
+        case "--decontaminate-bloom" => a = a.copy(deconBloom = true); i += 1
         case "--dedup-spans"      =>
           val w = value("--dedup-spans").toInt
           require(w >= 0, s"--dedup-spans width must be >= 0 (0 disables the stage), got $w")
@@ -79,6 +81,8 @@ object Extract {
       "--strip-boilerplate only affects the curated snapshot: pass --curate too")
     require(a.decontaminate == null || a.curate,
       "--decontaminate only affects the curated snapshot: pass --curate too")
+    require(!a.deconBloom || a.decontaminate != null,
+      "--decontaminate-bloom selects the plan for --decontaminate: pass it too")
     require(a.dedupSpansW == 0 || a.curate,
       "--dedup-spans only affects the curated snapshot: pass --curate too")
     require(!a.qualityReps || a.curate,
@@ -221,6 +225,7 @@ object Extract {
           decode(col("contents"), "UTF-8").as("text")),
         stripBoilerplate = a.stripBoilerplate,
         decontaminateAgainst = benchmark,
+        deconViaBloom = a.deconBloom,
         dedupSpansW = a.dedupSpansW,
         qualityReps = a.qualityReps)
       new ParquetManifestTable(s"${a.outRoot}/curated", a.tableFormat).commit(curated, batchId)

@@ -177,6 +177,17 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(ids.contains(urlId(1)) && ids.contains(urlId(3)),
       "clean articles must survive")
     assert(!ids.contains(urlId(2)), "the benchmark-leaked article must be dropped")
+
+    // --decontaminate-bloom: same job through the bloom-prefiltered plan
+    // lands an identical curated snapshot (fresh output root so the
+    // resume filter does not dedupe the input away)
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_decon_out2").toString
+    Extract.main(Array(inDir, outDir2, "--partitions", "2", "--curate",
+      "--decontaminate", benchDir, "--decontaminate-bloom"))
+    val curated2 = new graft.sources.ParquetManifestTable(s"$outDir2/curated")
+      .readLatest(spark)
+    assert(curated2.orderBy("doc_id").collect().map(_.toString).toSeq ==
+      curated.orderBy("doc_id").collect().map(_.toString).toSeq)
   }
 
   test("duplicate urls with different passwords: the LATEST row's password wins, deterministically") {
