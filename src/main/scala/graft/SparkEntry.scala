@@ -790,6 +790,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic train/val/test split: every doc's label from its own
+    // 40-bit md5 draw against integer ppm thresholds — disjoint,
+    // exhaustive, growth-stable (new docs never move old assignments)
+    "q71_hash_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("doc_id").cast("string").as("k")),
+          hashCol = "k",
+          splits = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // bloom-prefiltered decontamination: the broadcastable-membership
     // scale path (benchmark as a ~10-bit/shingle filter probed map-side,
     // exact confirm join on survivors only) — output bit-identical to the
@@ -1779,6 +1790,19 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(a.n_units, 0) AS BIGINT) AS n_units,
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.clean_md5
          FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+
+    // same 40-bit md5-prefix draw and integer threshold arithmetic
+    // (cum_ppm * 2^40 // 1e6, all non-negative so // == truncation);
+    // the final threshold is exactly 2^40, so ELSE is the last split
+    "q71_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN h < (800000 * 1099511627776) // 1000000 THEN 'train'
+                WHEN h < (900000 * 1099511627776) // 1000000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) AS h
+               FROM documents)
          ORDER BY doc_id""",
 
     // identical brute-force set overlap as q52's oracle — the bloom

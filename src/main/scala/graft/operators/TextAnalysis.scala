@@ -164,6 +164,42 @@ object TextAnalysis {
   private def md5PrefixLong(c: Column, hexChars: Int): Column =
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
+  /** Deterministic train/val/test SPLIT assignment by hashed key — the
+    * dataset-freeze primitive: every row gets exactly one split label,
+    * decided by where its 40-bit md5 draw falls among cumulative ppm
+    * thresholds. Disjoint and exhaustive by construction (the last
+    * threshold is exactly 2^40), reproducible under any partitioning and
+    * any corpus growth (a row's label depends only on its own key — new
+    * data never reshuffles old assignments, the property a frozen eval
+    * split requires). PURE INTEGER thresholds: cumPpm * 2^40 div 1e6
+    * fits a signed long and truncates identically in every engine, so
+    * the q71 oracle replays the arithmetic bit-for-bit. Map-local, no
+    * shuffle. Rows with a NULL key get a NULL label (surfaced, not
+    * silently bucketed).
+    *
+    * `splits` = (label, ppm) in priority order; ppm weights must be
+    * positive and sum to exactly 1,000,000. */
+  def hashSplit(df: DataFrame, hashCol: String,
+                splits: Seq[(String, Long)],
+                splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.forall(_._2 > 0), s"split ppm weights must be positive: $splits")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split ppm weights must sum to exactly 1e6, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split labels must be distinct: ${splits.map(_._1)}")
+    require(!df.columns.contains(splitCol),
+      s"input already has a '$splitCol' column; pass a different splitCol")
+    val h = md5PrefixLong(col(hashCol), 10) // 40 bits: max ppm * 2^40 < 2^63
+    val thresholds = splits.scanLeft(0L)(_ + _._2).tail
+      .map(c => c * (1L << 40) / 1000000L)
+    val first = when(h < lit(thresholds.head), lit(splits.head._1))
+    val chain = splits.tail.zip(thresholds.tail).foldLeft(first) {
+      case (acc, ((label, _), thr)) => acc.when(h < lit(thr), lit(label))
+    }
+    df.withColumn(splitCol, chain)
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: row kept iff its 48-bit
     * md5 hash is below weight * 2^48 — inclusion probability equals the
     * row's weight (in integer 1e4 scale, e.g. `qualityScoreI4`), with no

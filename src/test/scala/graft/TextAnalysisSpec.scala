@@ -45,6 +45,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(2) == fp(9))
   }
 
+  test("hashSplit: disjoint exhaustive labels, proportions track ppm, growth-stable") {
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("doc_id").cast("string").as("k"))
+    val splits = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))
+    val out = TextAnalysis.hashSplit(keyed, "k", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = keyed.count()
+    assert(counts.values.sum == n, "every row gets exactly one label")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 500 docs at 80/10/10: binomial sd ~9 for train — allow generous bands
+    assert(math.abs(counts("train") - 0.8 * n) < 0.08 * n, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 0.1 * n) < 0.06 * n)
+    // growth stability: the same rows keep their labels inside a larger corpus
+    val grown = keyed.union(
+      keyed.select((col("doc_id") + 10000).as("doc_id"),
+        (col("doc_id") + 10000).cast("string").as("k")))
+    val before = out.select("doc_id", "split").collect().map(_.toString).toSet
+    val after = TextAnalysis.hashSplit(grown, "k", splits)
+      .where(col("doc_id") < 10000).select("doc_id", "split")
+      .collect().map(_.toString).toSet
+    assert(after == before, "existing assignments must not move when the corpus grows")
+    // partitioning-independent
+    val rep = TextAnalysis.hashSplit(keyed.repartition(13), "k", splits)
+      .select("doc_id", "split").collect().map(_.toString).toSet
+    assert(rep == before)
+    // null keys surface as null labels, not a silent bucket
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "k")
+    val nl = TextAnalysis.hashSplit(withNull, "k", splits)
+      .orderBy("doc_id").collect().map(r => Option(r.getString(2)))
+    assert(nl(0).isDefined && nl(1).isEmpty)
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.hashSplit(keyed, "k", Seq(("a", 1L), ("b", 2L)))
+    }.getMessage.contains("sum to exactly 1e6"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.hashSplit(keyed.withColumn("split", lit("x")), "k", splits)
+    }.getMessage.contains("already has"))
+  }
+
   test("weightedSample: kept iff h48 under the integer threshold; rate tracks weight") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.weightedSample(docs, "text",
