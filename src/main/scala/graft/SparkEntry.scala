@@ -790,6 +790,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: corpus docs near-duplicating any benchmark
+    // doc at n-gram jaccard >= 0.99 (bipartite LSH candidates, exact
+    // verify) — at this threshold and corpus the qualifying pairs have
+    // identical shingle sets, so LSH recall is structurally 1 and the
+    // brute-force oracle agrees exactly (the q19 determinism argument)
+    "q72_fuzzy_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      Decontaminate.flagNearDup(docs, bench, "doc_id", "text",
+          shingleWords = 3, minJaccard = 0.99)
+        .select(col("id").as("doc_id"), col("n_near_matches"), col("best_jaccard_i4"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: every doc's label from its own
     // 40-bit md5 draw against integer ppm thresholds — disjoint,
     // exhaustive, growth-stable (new docs never move old assignments)
@@ -1790,6 +1806,42 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(a.n_units, 0) AS BIGINT) AS n_units,
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.clean_md5
          FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+
+    // brute-force bipartite jaccard with q19's shingle construction
+    // (trigram strings, short-doc [text] fallback, list_distinct sets);
+    // the same IEEE double divide on both engines so floor(j*1e4) is
+    // hash-exact
+    "q72_fuzzy_decon" ->
+      """WITH ta AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                 FROM documents WHERE text IS NOT NULL)
+         ), tb AS (
+           SELECT doc_id + 900000 AS bid, list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                 FROM documents WHERE text IS NOT NULL AND doc_id % 40 = 0)
+         ), p AS (
+           SELECT a.doc_id,
+                  CAST(floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) * 10000) AS BIGINT) AS j_i4
+           FROM ta a JOIN tb b
+             ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.99
+         ), m AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_matches,
+                  max(j_i4) AS best_jaccard_i4
+           FROM p GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(m.n_near_matches, 0) AS BIGINT) AS n_near_matches,
+                CAST(coalesce(m.best_jaccard_i4, 0) AS BIGINT) AS best_jaccard_i4,
+                CAST(coalesce(m.n_near_matches, 0) > 0 AS BIGINT) AS contaminated
+         FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
          ORDER BY doc_id""",
 
     // same 40-bit md5-prefix draw and integer threshold arithmetic

@@ -589,6 +589,67 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** BIPARTITE n-gram Jaccard near-dup pairs between a (large) left
+    * corpus and a (small) right set — the miner behind fuzzy
+    * decontamination (`Decontaminate.flagNearDup`): which corpus
+    * documents NEAR-duplicate a benchmark document? Same
+    * candidates-then-exact-verify discipline as [[ngramJaccardPairs]],
+    * but the band join is left x right instead of a self-join (no
+    * id_a < id_b — the two sides are different id spaces), so candidate
+    * count scales with genuine cross-matches, not corpus^2.
+    * Output: (id_a from left, id_b from right, jaccard), exact-verified.
+    *
+    * Block cap: a band shared by > maxBlock LEFT documents is template
+    * noise (the star degradation of the self-join case has no bipartite
+    * meaning), so such bands are EXCLUDED from pairing with the
+    * exclusion surfaced in the `bipartite_lsh_blocks_N` observed metric
+    * — the leakReport df-cap rationale. Right-side blocks are bounded by
+    * the benchmark's size. Exchanges carry (band_idx, band_hash, id)
+    * triples and id-keyed shingle arrays for the verify join-backs only
+    * — never text. */
+  def ngramJaccardPairsBipartite(left: DataFrame, right: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleWords: Int = 3, minJaccard: Double = 0.5,
+                                 k: Int = 64, bands: Int = 16,
+                                 maxBlock: Long = DefaultMaxBlock,
+                                 materialize: Boolean = true,
+                                 reliableCheckpoint: Boolean = false): DataFrame = {
+    val keys = Seq("band_idx", "band_hash")
+    def banded(src: DataFrame): DataFrame =
+      materializedSigs(src, idCol, textCol, shingleWords, k, materialize, reliableCheckpoint)
+        .select(col("id"),
+          posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
+    val bandedL = banded(left)
+    val bandedR = banded(right)
+    val leftRows =
+      if (maxBlock <= 0) bandedL
+      else {
+        val over = bandedL.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("block_n"))
+          .observe(s"bipartite_lsh_blocks_${nextMetricSeq()}",
+            sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("over_blocks"),
+            max(col("block_n")).as("max_block_n"))
+          .where(col("block_n") > maxBlock)
+          .select(keys.map(col): _*)
+        bandedL.join(over, keys, "left_anti")
+      }
+    val cand = leftRows
+      .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      .join(bandedR.select(col("band_idx"), col("band_hash"), col("id").as("id_b")), keys)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def hashes(src: DataFrame): DataFrame = materialized(
+      src.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
+      materialize, reliableCheckpoint)
+    cand
+      .join(hashes(left).select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
+      .join(hashes(right).select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SketchFunctions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** QUALITY-AWARE cluster representative selection — the FineWeb upgrade
     * over [[connectedComponents]]' min-id `is_kept`: per near-dup cluster
     * keep the HIGHEST-quality member (ties to the smallest id), so dedup

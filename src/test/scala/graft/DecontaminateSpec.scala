@@ -57,6 +57,57 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("flagNearDup == brute-force bipartite jaccard; edits below threshold stay clean") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),   // exact copy in bench -> contaminated
+      (2L, "a b c d e f g h i XX"),  // one-token edit: j < 0.9 -> clean at 0.9
+      (3L, "completely unrelated words live here now"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b c d e f g h i j")    // second exact copy: also contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "nothing in the corpus looks like this one")).toDF("doc_id", "text")
+    val out = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 10000L, true),
+      (2L, 0L, 0L, false),
+      (3L, 0L, 0L, false),
+      (4L, 0L, 0L, false),
+      (5L, 1L, 10000L, true)))
+    // brute-force equality on the real documents table fixture (q72's
+    // construction at sf0.001 scale is exercised by the oracle; here a
+    // cross-join jaccard over the small fixture)
+    val sh = (d: org.apache.spark.sql.DataFrame) => d.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.shingleHashes(col("text"), 3).as("s"))
+    val brute = sh(corpus).alias("a").crossJoin(sh(bench).alias("b"))
+      .select(col("a.doc_id").as("id"),
+        graft.functions.SketchFunctions.jaccardSim(col("a.s"), col("b.s")).as("j"))
+      .where(col("j") >= 0.9)
+      .groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = out.filter(_._4).map(t => (t._1, t._2)).toMap
+    assert(got == brute)
+  }
+
+  test("flagNearDup: over-popular left bands are excluded (capped), clean rows anchored") {
+    // 30 corpus docs sharing one text block against a bench copy; with
+    // maxBlock = 8 every band block (30 > 8) is excluded -> no candidates
+    // -> all clean; with the default cap they all match
+    val corpus = (1L to 30L).map(i => (i, "t u v w x y z p q r")).toDF("doc_id", "text")
+    val bench = Seq((100L, "t u v w x y z p q r")).toDF("doc_id", "text")
+    val capped = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9, maxBlock = 8L)
+    assert(capped.where(col("contaminated")).count() == 0)
+    assert(capped.count() == 30)
+    val uncapped = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9)
+    assert(uncapped.where(col("contaminated")).count() == 30)
+  }
+
   test("flag SQL recipe + registered view reproduce the operator on the documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.createOrReplaceTempView("decon_sql_docs")
