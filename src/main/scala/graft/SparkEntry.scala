@@ -790,6 +790,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // int8-quantized ANN: same brute-force top-k as q21 over the
+    // 4x-smaller quantized representation — power-of-two scale keeps the
+    // quantization FP-exact, integer dot products keep the scores exact,
+    // so rank AND score are hash-checkable despite heavy ties
+    "q73_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKI8(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, scaleBits = 7)
+        .select(col("query_id"), col("id"), col("rank"),
+          floor(col("cos") * 10000).cast("long").as("cos_i4"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // FUZZY decontamination: corpus docs near-duplicating any benchmark
     // doc at n-gram jaccard >= 0.99 (bipartite LSH candidates, exact
     // verify) — at this threshold and corpus the qualifying pairs have
@@ -1807,6 +1820,29 @@ object SparkEntry {
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.clean_md5
          FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    // the quantized values are exact integers representable in DOUBLE, so
+    // list_dot_product over them equals the engine's integer dot
+    // bit-for-bit; floor(x * 128) floors an EXACT product (power-of-two
+    // multiply only shifts the exponent), so quantization agrees too
+    "q73_ann_quantized" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> greatest(-127, least(127, floor(x * 128)))) AS qv
+           FROM embeddings),
+         n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM e
+               WHERE list_dot_product(qv, qv) > 0),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS id,
+             list_dot_product(c.qv, q.qv) / sqrt(c.n2 * q.n2) AS cos
+           FROM n c JOIN n q ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rn
+           FROM scored)
+         SELECT query_id, id, CAST(rn AS INTEGER) AS rank,
+           CAST(floor(cos * 10000) AS BIGINT) AS cos_i4
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
 
     // brute-force bipartite jaccard with q19's shingle construction
     // (trigram strings, short-doc [text] fallback, list_distinct sets);

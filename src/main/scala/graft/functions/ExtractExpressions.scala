@@ -172,7 +172,8 @@ object GraftFunctionSet {
     "bloom_shingle_hits" -> (args => {
       val a = arity("bloom_shingle_hits", 3)(args)
       BloomShingleHits(a(0), a(1), intLit("bloom_shingle_hits", a(2)))
-    }))
+    }),
+    "dot_int" -> (args => { val a = arity("dot_int", 2)(args); DotInt(a(0), a(1)) }))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -536,6 +536,27 @@ object SketchKernel {
     UTF8String.fromBytes(acc)
   }
 
+  /** Exact integer dot product of two int arrays (the quantized-embedding
+    * scoring kernel): sum over min-length of a_i * b_i in LONG — no
+    * overflow at any realistic dimension (|a_i|,|b_i| <= 2^31, products
+    * accumulate in 64 bits over thousands of dims), no floating point,
+    * so the value is bit-identical across engines and to a double fold
+    * over the same (exactly representable) integers. Null slots
+    * contribute nothing (isNullAt-guarded — ArrayData.getInt on a null
+    * slot silently unboxes 0, so the guard is about intent, not value:
+    * a null element must not LOOK like a legitimate zero component). */
+  def dotInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        s += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
   /** Exact set-jaccard of two long arrays with DISTINCT-COUNT semantics —
     * value-identical to size(array_intersect(a,b)) / size(array_union(a,b))
     * for any null-free long arrays (duplicates collapse), without
@@ -809,6 +830,25 @@ case class QualityScore(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quality_score"
 }
 
+case class DotInt(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_int requires two array<int> inputs, got ${l.sql} and ${r.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernel.dotInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernel.dotInt($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotInt =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_int"
+}
+
 case class JaccardSim(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -858,4 +898,6 @@ object SketchFunctions {
   def exciseSpans(text: Column, hits: Column, w: Int): Column =
     ColumnBridge.column(ExciseSpans(
       ColumnBridge.expression(text), ColumnBridge.expression(hits), w))
+  def dotInt(a: Column, b: Column): Column =
+    ColumnBridge.column(DotInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

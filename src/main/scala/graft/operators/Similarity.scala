@@ -100,6 +100,57 @@ object Similarity {
       scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
   }
 
+  /** Symmetric int8 quantization of an embedding at a POWER-OF-TWO scale:
+    * q_i = clamp(floor(x_i * 2^scaleBits), -127, 127). The power-of-two
+    * scale is the determinism trick — multiplying a binary double by 2^s
+    * only shifts its exponent (EXACT, never rounds), so the floor is
+    * taken of an exact value and every engine agrees bit-for-bit; a
+    * decimal scale like 100 would round first and floor second,
+    * differently per engine at representation boundaries.
+    *
+    * Why quantize at 100 TB: the embedding table dominates ANN storage
+    * and scan bandwidth; int8 is 4x smaller than float32 (16x vs the
+    * cast-to-double scoring path), and the quantized scores are EXACT
+    * integers — reproducible ranking with no FP accumulation order
+    * hazards. scaleBits = 7 maps unit-normalized components (|x| <= 1)
+    * onto the full +-127 range. */
+  def quantizeI8(vec: Column, scaleBits: Int = 7): Column = {
+    require(scaleBits >= 1 && scaleBits <= 20,
+      s"quantizeI8 needs 1 <= scaleBits <= 20, got $scaleBits")
+    transform(asDouble(vec),
+      x => greatest(lit(-127L), least(lit(127L), floor(x * (1L << scaleBits)))).cast("int"))
+  }
+
+  /** Exact brute-force top-k over int8-QUANTIZED vectors — [[bruteForceTopK]]
+    * with the quantized representation end to end: both sides quantize
+    * map-side (one pass), scoring is the native `dot_int` integer kernel
+    * (exact — cos = dot / sqrt(n2_a * n2_b) where every operand is an
+    * integer below 2^53, so the one IEEE divide+sqrt is bit-identical in
+    * any engine), ranking is the bounded top-k aggregate with (score
+    * desc, id asc) ties — quantization makes exact ties common, and the
+    * integer scores keep them deterministic. Vectors whose every
+    * component quantizes to zero have no direction at this resolution
+    * and are EXCLUDED (documented; a float cosine against them is
+    * equally meaningless noise). */
+  def bruteForceTopKI8(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       scaleBits: Int = 7): DataFrame = {
+    import graft.functions.SketchFunctions.dotInt
+    def quantized(df: DataFrame, idName: String, vecName: String, n2Name: String): DataFrame =
+      df.select(col(idCol).as(idName), quantizeI8(col(vecCol), scaleBits).as(vecName))
+        .withColumn(n2Name, dotInt(col(vecName), col(vecName)))
+        .where(col(n2Name) > 0)
+    val c = quantized(corpus, "id", "qv", "n2")
+    val q = quantized(queries, "query_id", "qqv", "qn2")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dotInt(col("qv"), col("qqv")).cast("double") /
+          sqrt((col("n2") * col("qn2")).cast("double"))).as("cos"))
+    explodeTopK(
+      scored.groupBy(col("query_id")).agg(topKByScore(col("cos"), col("id"), k).as("top")))
+  }
+
   /** Multi-table LSH approximate top-k: the corpus is scanned once; each row
     * emits its L (table, bucket) keys and joins the broadcast queries on
     * them; matches are scored exactly and fed to the bounded top-k

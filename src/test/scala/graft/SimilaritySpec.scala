@@ -47,6 +47,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing: ${expected diff pairs}")
   }
 
+  test("quantizeI8: exact power-of-two floor, clamp at +-127; dot_int == double fold") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -0.25f, 3.0f, -9.9f, 0.0039f))).toDF("id", "v")
+    val q = df.select(Similarity.quantizeI8(col("v"), 7).as("q"))
+      .head().getSeq[Int](0)
+    // 0.5*128=64; -0.25*128=-32; 3.0*128=384 -> clamp 127; -9.9 -> clamp
+    // -127; 0.0039*128 ~ 0.4992 -> floor 0
+    assert(q == Seq(64, -32, 127, -127, 0))
+    // native integer dot == the declarative double fold over the same ints
+    val two = Seq((Seq(3, -4, 127), Seq(2, 5, -127))).toDF("a", "b")
+    val native = two.select(graft.functions.SketchFunctions.dotInt(col("a"), col("b")))
+      .head().getLong(0)
+    assert(native == (3 * 2 + -4 * 5 + 127 * -127).toLong)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT dot_int(array(1, 2), array(3, 4))").head().getLong(0) == 11L)
+  }
+
+  test("bruteForceTopKI8: deterministic ties, zero-quantized vectors excluded, sane vs float ANN") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopKI8(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5)
+    val rows = out.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // partitioning-independent (integer scores -> no FP merge hazards)
+    val rows13 = Similarity.bruteForceTopKI8(emb.repartition(13),
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(rows == rows13 && rows.nonEmpty)
+    // quantized ranking approximates the float ranking: recall@5 vs q21's
+    // exact brute force should be high on isotropic data
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = out.select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.6, s"quantized recall vs float brute force = $recall")
+    // an all-sub-resolution vector has no quantized direction: excluded
+    // (floor is toward -inf: a tiny NEGATIVE component quantizes to -1,
+    // so the all-zero case needs non-negative sub-resolution components)
+    val tiny = Seq((1L, Seq(0.001f, 0.002f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val t = Similarity.bruteForceTopKI8(tiny, tiny.where(col("vec_id") === 2L),
+      "vec_id", "embedding", k = 5)
+    assert(t.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("IVF centroids are bit-identical under any partitioning (integer-scaled Lloyd)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def train(parts: Int) =
