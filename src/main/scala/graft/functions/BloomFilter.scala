@@ -261,7 +261,9 @@ object BloomFunctions {
 
   /** Filter shape for an expected key count at a bits-per-key budget:
     * (numBits rounded up to a multiple of 64, the FP-optimal k =
-    * round(bits/key * ln 2), floored at 1). */
+    * round(bits/key * ln 2), clamped into BloomBuild's accepted 1..32 —
+    * above 46 bits/key the optimum exceeds 32, where extra probes buy
+    * nothing measurable anyway). */
   def shape(expectedKeys: Long, bitsPerKey: Int): (Int, Int) = {
     require(expectedKeys >= 0, s"expectedKeys must be >= 0, got $expectedKeys")
     require(bitsPerKey >= 1 && bitsPerKey <= 64,
@@ -272,6 +274,7 @@ object BloomFunctions {
       s"bloom filter of $expectedKeys keys at $bitsPerKey bits/key needs " +
         s"$rounded bits > 2^30 cap (${(1 << 30) / 8 / 1024 / 1024} MB); " +
         "lower bitsPerKey or partition the key set")
-    (rounded.toInt, math.max(1, math.round(bitsPerKey * math.log(2)).toInt))
+    (rounded.toInt,
+      math.min(32, math.max(1, math.round(bitsPerKey * math.log(2)).toInt)))
   }
 }

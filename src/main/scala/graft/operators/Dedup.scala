@@ -175,6 +175,22 @@ object Dedup {
       .where(col("est_jaccard") >= minJaccard)
   }
 
+  /** NULL-SAFE left join of a per-id result frame onto the checked id
+    * anchor — the shared tail of the flag/keep-first operators. A
+    * (necessarily unique — the anchor raise_errors on duplicates) null-id
+    * document groups its own rows under id = null in the aggregate, and
+    * an equality join would silently drop that match — the unsafe
+    * direction for a contamination gate (the exciseJoinBack rationale,
+    * factored). `right` must carry an `id` column; the join returns
+    * anchor.id as `id` plus right's other columns (null for unmatched
+    * anchors). */
+  private[operators] def anchorLeftJoin(anchor: DataFrame, right: DataFrame): DataFrame = {
+    val rightCols = right.columns.filter(_ != "id").map(c => col(s"__rt.$c").as(c)).toSeq
+    anchor.alias("__an")
+      .join(right.alias("__rt"), col("__an.id") <=> col("__rt.id"), "left")
+      .select(col("__an.id").as("id") +: rightCols: _*)
+  }
+
   /** Materialization point for the expensive sketch frames: a frame that
     * feeds several plan consumers (self-join sides, the block-stats
     * aggregate, verify join-backs) is RE-EXECUTED per consumer — measured
@@ -599,14 +615,21 @@ object Dedup {
     * count scales with genuine cross-matches, not corpus^2.
     * Output: (id_a from left, id_b from right, jaccard), exact-verified.
     *
-    * Block cap: a band shared by > maxBlock LEFT documents is template
-    * noise (the star degradation of the self-join case has no bipartite
-    * meaning), so such bands are EXCLUDED from pairing with the
-    * exclusion surfaced in the `bipartite_lsh_blocks_N` observed metric
-    * — the leakReport df-cap rationale. Right-side blocks are bounded by
-    * the benchmark's size. Exchanges carry (band_idx, band_hash, id)
-    * triples and id-keyed shingle arrays for the verify join-backs only
-    * — never text. */
+    * Block cap: unlike the self-join miners, the LEFT side needs NO cap —
+    * bipartite fan-out per band is |left block| x |right block|, LINEAR
+    * in the corpus (the quadratic self-pairing the star degradation
+    * guards against cannot occur), and a left band only fans out at all
+    * when some RIGHT document shares its 64-bit band hash. Capping the
+    * left would silently exempt exactly the mass-leak case (10^5 corpus
+    * copies of one benchmark doc occupy over-cap blocks in EVERY band
+    * and would vanish from the candidate set). The cap therefore applies
+    * to RIGHT blocks: a band shared by > maxBlock BENCHMARK documents is
+    * benchmark-internal template noise whose exclusion is surfaced in
+    * the `bipartite_lsh_blocks_N` observed metric; right blocks are
+    * bounded by the benchmark's size, so total candidates stay
+    * <= bands x |left| x maxBlock with tiny constants in practice.
+    * Exchanges carry (band_idx, band_hash, id) triples and id-keyed
+    * shingle arrays for the verify join-backs only — never text. */
   def ngramJaccardPairsBipartite(left: DataFrame, right: DataFrame,
                                  idCol: String, textCol: String,
                                  shingleWords: Int = 3, minJaccard: Double = 0.5,
@@ -621,30 +644,45 @@ object Dedup {
           posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
     val bandedL = banded(left)
     val bandedR = banded(right)
-    val leftRows =
-      if (maxBlock <= 0) bandedL
+    val rightRows =
+      if (maxBlock <= 0) bandedR
       else {
-        val over = bandedL.groupBy(keys.map(col): _*)
+        val over = bandedR.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("block_n"))
           .observe(s"bipartite_lsh_blocks_${nextMetricSeq()}",
             sum(when(col("block_n") > maxBlock, 1L).otherwise(0L)).as("over_blocks"),
             max(col("block_n")).as("max_block_n"))
           .where(col("block_n") > maxBlock)
           .select(keys.map(col): _*)
-        bandedL.join(over, keys, "left_anti")
+        bandedR.join(over, keys, "left_anti")
       }
-    val cand = leftRows
+    val cand = bandedL
       .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-      .join(bandedR.select(col("band_idx"), col("band_hash"), col("id").as("id_b")), keys)
+      .join(rightRows.select(col("band_idx"), col("band_hash"), col("id").as("id_b")), keys)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    def hashes(src: DataFrame): DataFrame = materialized(
-      src.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
-      materialize, reliableCheckpoint)
+    def shingles(src: DataFrame, mat: Boolean): DataFrame = {
+      val h = src.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes"))
+      materialized(h, mat, reliableCheckpoint)
+    }
+    // the LEFT hash table feeds exactly ONE join-back (contrast the
+    // self-join miner, where it feeds both sides), and the candidate set
+    // is contamination-sized — AQE broadcasts it, so the corpus-side
+    // shingle pass runs map-side and dies at the join without a
+    // corpus-scale checkpoint write; only the small right side
+    // materializes
+    // null-safe join-backs: a (single) null-id document on either side
+    // participates fully — flagNearDup's anchor would otherwise report
+    // its matches as clean (hash-join keys support <=>, so AQE still
+    // broadcasts the candidate set)
+    val shA = shingles(left, mat = false)
+      .select(col("id").as("__ida"), col("hashes").as("sh_a"))
+    val shB = shingles(right, materialize)
+      .select(col("id").as("__idb"), col("hashes").as("sh_b"))
     cand
-      .join(hashes(left).select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
-      .join(hashes(right).select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))
+      .join(shA, col("id_a") <=> col("__ida")).drop("__ida")
+      .join(shB, col("id_b") <=> col("__idb")).drop("__idb")
       .select(col("id_a"), col("id_b"),
         graft.functions.SketchFunctions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)

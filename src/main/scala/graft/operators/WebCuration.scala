@@ -196,9 +196,12 @@ object WebCuration {
     val flags = compact.join(winners, Seq("line_md5"))
       .select(col("id"), col("idx"),
         (struct(col("id"), col("idx")) === col("w")).as("keep"))
+    // the (id, idx) flag join-back tolerates equality keys — a null-id
+    // doc's rows all carry idx ints and rejoin below — but the ANCHOR
+    // join must be null-safe or that doc's reassembly is silently lost
     val flagged = exploded.join(flags, Seq("id", "idx"))
-    Dedup.checkedIdAnchor(df, idCol, op)
-      .join(reassembleKept(flagged, sep), Seq("id"), "left")
+    Dedup.anchorLeftJoin(
+        Dedup.checkedIdAnchor(df, idCol, op), reassembleKept(flagged, sep))
       .select(col("id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -93,19 +93,52 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
-  test("flagNearDup: over-popular left bands are excluded (capped), clean rows anchored") {
-    // 30 corpus docs sharing one text block against a bench copy; with
-    // maxBlock = 8 every band block (30 > 8) is excluded -> no candidates
-    // -> all clean; with the default cap they all match
+  test("flagNearDup: a MASS corpus leak (huge left blocks) is still fully caught") {
+    // 30 corpus copies of one benchmark doc: every left band block has 30
+    // members; the left side must NOT be capped (bipartite fan-out is
+    // linear) or this exact mass-leak scenario would silently read clean
     val corpus = (1L to 30L).map(i => (i, "t u v w x y z p q r")).toDF("doc_id", "text")
     val bench = Seq((100L, "t u v w x y z p q r")).toDF("doc_id", "text")
-    val capped = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
+    val out = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
         shingleWords = 3, minJaccard = 0.9, maxBlock = 8L)
+    assert(out.where(col("contaminated")).count() == 30)
+    assert(out.count() == 30)
+  }
+
+  test("flagNearDup: benchmark-internal template bands over the cap are excluded, observed") {
+    // 10 identical BENCHMARK docs (right blocks of 10) against one corpus
+    // copy: with maxBlock = 4 the right blocks are template noise and the
+    // pairing is skipped -> clean; the default cap matches all 10
+    val corpus = Seq((1L, "t u v w x y z p q r")).toDF("doc_id", "text")
+    val bench = (100L to 109L).map(i => (i, "t u v w x y z p q r")).toDF("doc_id", "text")
+    val capped = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9, maxBlock = 4L)
     assert(capped.where(col("contaminated")).count() == 0)
-    assert(capped.count() == 30)
+    assert(capped.count() == 1)
     val uncapped = Decontaminate.flagNearDup(corpus, bench, "doc_id", "text",
         shingleWords = 3, minJaccard = 0.9)
-    assert(uncapped.where(col("contaminated")).count() == 30)
+    val row = uncapped.orderBy("id").head()
+    assert(row.getLong(1) == 10L && row.getBoolean(3))
+  }
+
+  test("null-id corpus rows: matches surface through the null-safe anchor, not silently clean") {
+    val corpus = Seq(
+      (java.lang.Long.valueOf(1L), "q w e r t y u i"),
+      (null.asInstanceOf[java.lang.Long], "q w e r t y zz yy")).toDF("doc_id", "text")
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val flg = Decontaminate.flag(corpus, bench, "doc_id", "text", w = 3, minOverlap = 2L)
+      .where(col("id").isNull).head()
+    assert(flg.getLong(2) == 4L && flg.getBoolean(3),
+      "null-id doc's 4 matched shingles must not read clean")
+    val blm = Decontaminate.flagBloom(corpus, bench, "doc_id", "text", w = 3, minOverlap = 2L)
+      .where(col("id").isNull).head()
+    assert(blm.getLong(2) == 4L && blm.getBoolean(3))
+    val nd = Decontaminate.flagNearDup(
+        corpus.union(Seq((java.lang.Long.valueOf(2L), "x")).toDF("doc_id", "text")),
+        Seq((100L, "q w e r t y zz yy")).toDF("doc_id", "text"),
+        "doc_id", "text", shingleWords = 3, minJaccard = 0.9)
+      .where(col("id").isNull).head()
+    assert(nd.getLong(1) == 1L && nd.getBoolean(3))
   }
 
   test("flag SQL recipe + registered view reproduce the operator on the documents table") {
