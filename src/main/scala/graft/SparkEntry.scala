@@ -843,6 +843,50 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_shingles"), col("n_matched"),
           col("contaminated").cast("long").as("contaminated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // normalized exact dedup: the injected dup copies are RESTYLED
+    // in-query (uppercase + punctuation noise + padded spacing) so
+    // raw-byte dedup (q13) misses them and only the canonical
+    // lowercase/strip/collapse key collapses each pair
+    "q74_normalized_dedup" -> ((s, dir) => {
+      val restyled = docsWithDups(s, dir).select(col("doc_id"),
+        when(col("doc_id") >= 100000L,
+          concat(lit("  "), upper(col("text")), lit("!!  ")))
+          .otherwise(col("text")).as("text"))
+      Dedup.normalizedDedup(restyled, "doc_id", "text")
+        .orderBy(col("norm_md5"))
+    }),
+
+    // keep-newest capture per url (recrawl collapse): urls synthesized so
+    // each has ~several captures, capture timestamps scrambled by a
+    // Knuth-constant multiply so the winner is not just max(doc_id), and
+    // every 13th ts NULLed so the null-loses rule is exercised
+    "q75_latest_capture" -> ((s, dir) => {
+      val caps = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://s"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), (col("doc_id") % 50).cast("string")).as("url"),
+        when(col("doc_id") % 13 === 9, lit(null).cast("long"))
+          .otherwise((col("doc_id") * 2654435761L) % 100000L).as("warc_ts"))
+      WebCuration.latestCapture(caps, "url", "warc_ts", "doc_id")
+        .orderBy(col("url"))
+    }),
+
+    // incremental recrawl ingest (snapshot diff): base = current corpus
+    // minus every 3rd url, batch = full recrawl with every 5th doc's
+    // content edited — so statuses split deterministically into
+    // new (%3==0), changed (%5==0 and in base), unchanged (the rest)
+    "q76_incremental_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val u = concat(lit("http://a.com/d/"), col("doc_id").cast("string"))
+      val base = docs.where(col("doc_id") % 3 =!= 0)
+        .select(u.as("url"), col("text"))
+      val batch = docs.select(col("doc_id"), u.as("url"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      WebCuration.incrementalDelta(batch, base, "url", "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1920,6 +1964,67 @@ object SparkEntry {
                 CAST(coalesce(m.n_matched, 0) >= 2 AS BIGINT) AS contaminated
          FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
          ORDER BY doc_id""",
+
+    // identical normalization chain; DuckDB regexp_replace needs the 'g'
+    // flag (its default replaces only the FIRST match, Spark's all)
+    "q74_normalized_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, '  ' || upper(text) || '!!  '
+           FROM documents WHERE doc_id < 20
+         ), norm AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+           FROM docs
+         )
+         SELECT norm_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM norm GROUP BY norm_md5 ORDER BY norm_md5""",
+
+    // window-free argmax replay of max(struct(ts, id)): max ts per url,
+    // then max id among that ts's captures — IS NOT DISTINCT FROM keeps
+    // the all-NULL-ts groups comparable (NULL ts loses to any value in
+    // Spark's struct ordering; max(ts) ignores NULLs identically)
+    "q75_latest_capture" ->
+      """WITH caps AS (
+           SELECT doc_id AS id,
+                  'http://s' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS url,
+                  CASE WHEN doc_id % 13 = 9 THEN NULL
+                       ELSE (doc_id * 2654435761) % 100000 END AS ts
+           FROM documents
+         ), agg AS (
+           SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+                  max(ts) AS max_ts
+           FROM caps GROUP BY url
+         )
+         SELECT a.url, a.n_captures, CAST(a.max_ts AS BIGINT) AS ts,
+                CAST(max(c.id) AS BIGINT) AS id
+         FROM agg a JOIN caps c
+           ON c.url = a.url AND c.ts IS NOT DISTINCT FROM a.max_ts
+         GROUP BY a.url, a.n_captures, a.max_ts
+         ORDER BY a.url""",
+
+    // same md5-compared LEFT JOIN; base urls unique by construction so
+    // e.url IS NULL is the in-base marker
+    "q76_incremental_ingest" ->
+      """WITH base AS (
+           SELECT 'http://a.com/d/' || CAST(doc_id AS VARCHAR) AS url, text
+           FROM documents WHERE doc_id % 3 <> 0
+         ), batch AS (
+           SELECT doc_id, 'http://a.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents
+         )
+         SELECT b.doc_id, b.url,
+                CASE WHEN e.url IS NULL THEN 'new'
+                     WHEN md5(b.text) IS NOT DISTINCT FROM md5(e.text)
+                       THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM batch b LEFT JOIN base e ON e.url = b.url
+         ORDER BY b.doc_id""",
 
     // identical regex chain: lowercase scheme+host, strip fragment,
     // default port, trailing slash

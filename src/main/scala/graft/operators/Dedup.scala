@@ -19,9 +19,26 @@ object Dedup {
   /** Exact dedup: one row per distinct text, keeping the smallest id.
     * Shuffle key is md5(text) (32 bytes), not the text itself. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("text_md5"), col(idCol))
-      .groupBy(col("text_md5"))
+    exactDedupBy(df, idCol, md5(col(textCol)), "text_md5")
+
+  /** Exact dedup under an arbitrary derived KEY expression — the shared
+    * kernel behind [[exactDedup]] (raw text md5) and [[normalizedDedup]]
+    * (canonicalized text md5). One map-side-combined groupBy on the key;
+    * only (key, id) pairs cross the exchange. */
+  def exactDedupBy(df: DataFrame, idCol: String, keyCol: Column,
+                   keyName: String): DataFrame =
+    df.select(keyCol.as(keyName), col(idCol))
+      .groupBy(col(keyName))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup on the NORMALIZED text ([[TextAnalysis.normalizeText]]):
+    * case, punctuation and whitespace variants of the same content count
+    * as one group — the standard first-pass web dedup key (raw-byte exact
+    * dedup misses trivially re-styled mirror pages). Rows whose text is
+    * NULL normalize to a NULL key and group together (surfaced as one
+    * group, not dropped). */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupBy(df, idCol, md5(TextAnalysis.normalizeText(col(textCol))), "norm_md5")
 
   // ---------- shingles ----------
 

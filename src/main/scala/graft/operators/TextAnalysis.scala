@@ -40,6 +40,17 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))
 
+  /** Aggressive ASCII normalization for dedup keys (the CCNet-style
+    * canonical form): lowercase, strip every char outside [a-z0-9 ],
+    * collapse space runs, trim — so case, punctuation and spacing variants
+    * of the same content collapse to one key. Pure codegen'd string/regex
+    * ops; both patterns are literal character classes valid and equivalent
+    * in java.util.regex and RE2, so the oracle replays the chain verbatim
+    * (DuckDB needs the 'g' flag — its regexp_replace defaults to
+    * first-match-only, Spark's to all). Map-local, no shuffle. */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", ""), " +", " "))
+
   /** BPE-ish subword-count estimate: word pieces of <= 4 chars. Native
     * single-pass expression, bit-identical to [[bpeTokenEstimateDeclarative]]
     * (SketchExpressionsSpec). */

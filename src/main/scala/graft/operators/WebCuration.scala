@@ -544,4 +544,77 @@ object WebCuration {
         sum(col("n_chars")).cast("long").as("sum_chars"),
         countDistinct(col("lang")).as("n_langs"),
         min(col("id")).as("min_id"))
+
+  /** Keep-newest capture per url (recrawl collapse): a Common-Crawl-style
+    * corpus holds MANY captures of the same url across snapshots; training
+    * data wants exactly one. Winner per url = greatest (ts, id) — NULL ts
+    * loses to any timestamped capture, all-NULL groups fall back to the
+    * greatest id (ts reported NULL). Output one row per distinct url:
+    * (url, n_captures, ts, id).
+    *
+    * Scale shape: winner selection is a map-side-combined
+    * `max(struct(ts, id))` AGGREGATE on the url key — NEVER a
+    * `row_number` window, which would sort every hot url's full capture
+    * history inside one partition (the q04 contrast; same choice as
+    * [[keepFirstLines]]' winner pass). Only (url, ts, id) triples cross
+    * the exchange — capture payloads never ride the winner shuffle. */
+  def latestCapture(df: DataFrame, urlCol: String, tsCol: String,
+                    idCol: String): DataFrame =
+    df.groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_captures"),
+        max(struct(col(tsCol).as("ts"), col(idCol).as("id"))).as("w"))
+      .select(col("url"), col("n_captures"),
+        col("w.ts").as("ts"), col("w.id").as("id"))
+
+  /** [[latestCapture]] materialized as full winner ROWS: the input frame
+    * filtered to each url's newest capture (payload columns intact).
+    * The winner set is joined back by id (left_semi — compact key, text
+    * stays put), so ids must be unique; duplicates raise_error loudly via
+    * the shared anchor guard instead of silently emitting copies. */
+  def collapseRecrawls(df: DataFrame, urlCol: String, tsCol: String,
+                       idCol: String): DataFrame = {
+    val winners = latestCapture(df, urlCol, tsCol, idCol)
+      .select(col("id"))
+      .where(col("id").isNotNull)
+    df.join(Dedup.checkedIdAnchor(df, idCol, "WebCuration.collapseRecrawls")
+        .withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .join(winners.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
+  /** Incremental recrawl ingest (snapshot diff / CDC): classify each batch
+    * row against the base corpus as `new` (url absent), `unchanged` (url
+    * present with byte-identical content), or `changed`. The primitive
+    * behind "only re-extract what moved" at recrawl scale — re-running the
+    * kernel over 10^12 unchanged pages is the bill to avoid. Output
+    * (id, url, status) per batch row.
+    *
+    * Scale shape: ONE equality join on url; the base side is reduced to
+    * (url, md5) pairs BEFORE the exchange — base text never ships. Base
+    * urls must be unique (one current row per url — [[latestCapture]]
+    * upstream guarantees it); duplicates raise_error loudly. NULL-url
+    * batch rows never match and classify as `new`; NULL-url base rows can
+    * match nothing and are ignored. NULL-text comparisons are null-safe
+    * (both NULL == unchanged). */
+  def incrementalDelta(batch: DataFrame, base: DataFrame, urlCol: String,
+                       idCol: String, textCol: String): DataFrame = {
+    val b = base
+      .select(col(urlCol).as("url"), md5(col(textCol)).as("base_md5"))
+      .where(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("__copies"), max(col("base_md5")).as("base_md5"))
+      .select(col("url"),
+        when(col("__copies") === 1, col("base_md5"))
+          .otherwise(raise_error(concat(
+            lit("incrementalDelta: duplicate base url (base must hold one current row per url): "),
+            col("url")))).as("base_md5"),
+        lit(true).as("__in_base"))
+    batch
+      .select(col(idCol).as("id"), col(urlCol).as("url"),
+        md5(col(textCol)).as("batch_md5"))
+      .join(b, Seq("url"), "left")
+      .select(col("id"), col("url"),
+        when(col("__in_base").isNull, lit("new"))
+          .when(col("batch_md5") <=> col("base_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

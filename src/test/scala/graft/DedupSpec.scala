@@ -245,4 +245,40 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(SparkTestBase.causeMessages(e3).exists(_.contains("non-null")))
   }
+
+  test("normalizeText: lowercase, strip non-alnum, collapse spaces, trim; idempotent") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      "Hello,  World!" -> "hello world",
+      "  a - b -- c  " -> "a b c",
+      "already clean" -> "already clean",
+      "***" -> "",               // all stripped -> empty, not null
+      "A" -> "a")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2), out.mkString("|"))
+    // idempotent: normalizing a normalized string is the identity
+    val twice = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("t"))))
+      .as[String].collect().toSeq
+    assert(twice == out)
+    // NULL stays NULL (surfaced as its own group downstream)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("normalizedDedup collapses restyled copies that raw-byte exactDedup keeps apart") {
+    val df = Seq(
+      (1L, "The quick fox."),
+      (2L, "  the QUICK fox!!  "),   // same content, restyled
+      (3L, "another doc"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.exactDedup(df, "doc_id", "text").collect()
+    assert(raw.length == 3) // raw bytes: all distinct
+    val norm = Dedup.normalizedDedup(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(norm.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L))) // 1+2 collapse keeping min id
+  }
 }

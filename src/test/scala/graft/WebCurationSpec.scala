@@ -298,4 +298,71 @@ class WebCurationSpec extends AnyFunSuite {
       ("a.example.com", 2L, 30L, 2L, 1L),
       ("b.example.com", 1L, 5L, 1L, 3L)))
   }
+
+  test("latestCapture: greatest (ts, id) wins; NULL ts loses; all-NULL group falls back to max id") {
+    val df = Seq(
+      (1L, "u1", Some(10L)),  // u1: ts 10 beats ts 5 despite smaller id
+      (2L, "u1", Some(5L)),
+      (3L, "u1", None),       // NULL ts loses to any timestamped capture
+      (4L, "u2", Some(7L)),   // u2: ts tie -> greater id wins
+      (5L, "u2", Some(7L)),
+      (6L, "u3", None),       // u3: all NULL -> max id, ts reported NULL
+      (7L, "u3", None))
+      .toDF("doc_id", "url", "warc_ts")
+    val out = WebCuration.latestCapture(df, "url", "warc_ts", "doc_id")
+      .orderBy("url").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq == Seq(
+      ("u1", 3L, 10L, 1L),
+      ("u2", 2L, 7L, 5L),
+      ("u3", 2L, -1L, 7L)))
+  }
+
+  test("collapseRecrawls returns the full winner rows; duplicate ids raise") {
+    val df = Seq(
+      (1L, "u1", Some(10L), "newest"),
+      (2L, "u1", Some(5L), "stale"),
+      (3L, "u2", None, "only"))
+      .toDF("doc_id", "url", "warc_ts", "text")
+    val out = WebCuration.collapseRecrawls(df, "url", "warc_ts", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "newest"), (3L, "only")))
+    val dup = Seq((1L, "u1", Some(1L), "a"), (1L, "u1", Some(2L), "b"))
+      .toDF("doc_id", "url", "warc_ts", "text")
+    val e = intercept[Exception] {
+      WebCuration.collapseRecrawls(dup, "url", "warc_ts", "doc_id").collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+  }
+
+  test("incrementalDelta classifies new/changed/unchanged; NULL urls and texts are null-safe") {
+    val base = Seq(
+      ("u1", Option("same")),
+      ("u2", Option("old")),
+      ("u3", Option.empty[String]),   // NULL base text
+      (null.asInstanceOf[String], Option("ghost"))) // NULL base url: ignored
+      .toDF("url", "text")
+    val batch = Seq(
+      (1L, "u1", Option("same")),            // unchanged
+      (2L, "u2", Option("edited")),          // changed
+      (3L, "u3", Option.empty[String]),      // both NULL texts -> unchanged
+      (4L, "u4", Option("fresh")),           // url absent -> new
+      (5L, null.asInstanceOf[String], Option("nowhere"))) // NULL batch url -> new
+      .toDF("doc_id", "url", "text")
+    val out = WebCuration.incrementalDelta(batch, base, "url", "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "unchanged"),
+      (4L, "new"), (5L, "new")))
+  }
+
+  test("incrementalDelta raises on duplicate base urls instead of comparing against one arbitrarily") {
+    val base = Seq(("u1", "a"), ("u1", "b")).toDF("url", "text")
+    val batch = Seq((1L, "u1", "a")).toDF("doc_id", "url", "text")
+    val e = intercept[Exception] {
+      WebCuration.incrementalDelta(batch, base, "url", "doc_id", "text").collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate base url")))
+  }
 }
