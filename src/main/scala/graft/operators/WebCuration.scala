@@ -617,4 +617,64 @@ object WebCuration {
           .when(col("batch_md5") <=> col("base_md5"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** [[latestCapture]] as ONE executable Spark-SQL statement — pure
+    * builtins (the argmax is the same `max(struct(ts, id))` aggregate).
+    * Parity-asserted against the operator (WebCurationSpec). */
+  def latestCaptureSqlRecipe(table: String, urlCol: String, tsCol: String,
+                             idCol: String): String = {
+    import SqlIdent.{col => q, table => qt}
+    s"""WITH __caps AS (
+       |  SELECT ${q(urlCol)} AS url, ${q(tsCol)} AS ts, ${q(idCol)} AS id
+       |  FROM ${qt(table)}
+       |), __agg AS (
+       |  SELECT url, count(1) AS n_captures, max(struct(ts, id)) AS w
+       |  FROM __caps GROUP BY url
+       |)
+       |SELECT url, n_captures, w.ts AS ts, w.id AS id FROM __agg""".stripMargin
+  }
+
+  /** Register [[latestCaptureSqlRecipe]] as a named temp view. */
+  def registerLatestCaptureView(spark: org.apache.spark.sql.SparkSession,
+                                viewName: String, table: String,
+                                urlCol: String, tsCol: String,
+                                idCol: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      latestCaptureSqlRecipe(table, urlCol, tsCol, idCol))
+
+  /** [[incrementalDelta]] as ONE executable Spark-SQL statement — same
+    * (url, md5) reduction, null-safe compare, and loud duplicate-base-url
+    * guard. Parity-asserted against the operator (WebCurationSpec). */
+  def incrementalDeltaSqlRecipe(batchTable: String, baseTable: String,
+                                urlCol: String, idCol: String,
+                                textCol: String): String = {
+    import SqlIdent.{col => q, table => qt}
+    val (u, id, text) = (q(urlCol), q(idCol), q(textCol))
+    s"""WITH __base AS (
+       |  SELECT url,
+       |         CASE WHEN count(1) = 1 THEN max(m)
+       |              ELSE raise_error(concat(
+       |                'incrementalDelta: duplicate base url (base must hold one current row per url): ',
+       |                url)) END AS base_md5,
+       |         true AS in_base
+       |  FROM (SELECT $u AS url, md5($text) AS m FROM ${qt(baseTable)}
+       |        WHERE $u IS NOT NULL)
+       |  GROUP BY url
+       |), __batch AS (
+       |  SELECT $id AS id, $u AS url, md5($text) AS bm FROM ${qt(batchTable)}
+       |)
+       |SELECT b.id, b.url,
+       |       CASE WHEN e.in_base IS NULL THEN 'new'
+       |            WHEN b.bm <=> e.base_md5 THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM __batch b LEFT JOIN __base e ON b.url = e.url""".stripMargin
+  }
+
+  /** Register [[incrementalDeltaSqlRecipe]] as a named temp view. */
+  def registerIncrementalDeltaView(spark: org.apache.spark.sql.SparkSession,
+                                   viewName: String, batchTable: String,
+                                   baseTable: String, urlCol: String,
+                                   idCol: String, textCol: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${SqlIdent.table(viewName)} AS\n" +
+      incrementalDeltaSqlRecipe(batchTable, baseTable, urlCol, idCol, textCol))
 }

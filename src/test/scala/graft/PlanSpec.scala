@@ -432,4 +432,47 @@ class PlanSpec extends AnyFunSuite {
     // the two base hashes per shingle are materialized once via the struct
     assert(p.contains("minhash_sig") || p.contains("struct(h1"), p.take(2000))
   }
+
+  test("latest capture: winner is an aggregate (no window); payloads never ride the winner shuffle") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 10).cast("string").as("url"),
+        (col("doc_id") * 7L).as("warc_ts"))
+    val out = graft.operators.WebCuration.latestCapture(docs, "url", "warc_ts", "doc_id")
+    withAqeOff {
+      assert(out.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.isEmpty,
+        "latestCapture must not plan a window over the url keyspace")
+    }
+    // the aggregate exchange carries only (url, count, max-struct) partials
+    // — the text payload is pruned before any shuffle
+    collectShuffles(out).foreach { s =>
+      assert(!s.output.map(_.name).contains("text"),
+        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
+    }
+    // full winner rows: text rides back only on id-keyed exchanges
+    collectShuffles(
+        graft.operators.WebCuration.collapseRecrawls(docs, "url", "warc_ts", "doc_id"))
+      .foreach { s =>
+        if (s.output.map(_.name).contains("text")) {
+          val part = s.outputPartitioning.toString
+          assert(part.contains("doc_id#"), s"text exchange not id-keyed: $part")
+        }
+      }
+  }
+
+  test("incremental delta: both sides reduce to (url, md5) before the join — text never shuffles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        col("doc_id").cast("string").as("url"))
+    val out = graft.operators.WebCuration.incrementalDelta(
+      docs, docs.where(col("doc_id") % 2 === 0), "url", "doc_id", "text")
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.map(_.name).contains("text"),
+        s"shuffle carries ${s.output.map(_.name).mkString(",")}")
+    }
+  }
 }

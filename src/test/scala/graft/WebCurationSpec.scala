@@ -365,4 +365,47 @@ class WebCurationSpec extends AnyFunSuite {
     }
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate base url")))
   }
+
+  test("latestCapture SQL recipe + registered view reproduce the operator") {
+    val caps = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        (col("doc_id") % 9).cast("string").as("url"),
+        when(col("doc_id") % 13 === 9, lit(null).cast("long"))
+          .otherwise((col("doc_id") * 31L) % 1000L).as("warc_ts"))
+    caps.createOrReplaceTempView("lc_sql_caps")
+    WebCuration.registerLatestCaptureView(spark, "lc_sql_view",
+      "lc_sql_caps", "url", "warc_ts", "doc_id")
+    val viaSql = spark.sql("SELECT * FROM lc_sql_view ORDER BY url")
+      .collect().map(_.toString).toSeq
+    val viaApi = WebCuration.latestCapture(caps, "url", "warc_ts", "doc_id")
+      .orderBy("url").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("incrementalDelta SQL recipe + registered view reproduce the operator") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+      .select(concat(lit("u"), col("doc_id").cast("string")).as("url"), col("text"))
+    val batch = docs.select(col("doc_id"),
+      concat(lit("u"), col("doc_id").cast("string")).as("url"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    base.createOrReplaceTempView("id_sql_base")
+    batch.createOrReplaceTempView("id_sql_batch")
+    WebCuration.registerIncrementalDeltaView(spark, "id_sql_view",
+      "id_sql_batch", "id_sql_base", "url", "doc_id", "text")
+    val viaSql = spark.sql("SELECT * FROM id_sql_view ORDER BY id")
+      .collect().map(_.toString).toSeq
+    val viaApi = WebCuration.incrementalDelta(batch, base, "url", "doc_id", "text")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+    // the recipe's duplicate-base-url guard is as loud as the operator's
+    Seq(("u1", "a"), ("u1", "b")).toDF("url", "text")
+      .createOrReplaceTempView("id_sql_dup")
+    val e = intercept[Exception] {
+      spark.sql(WebCuration.incrementalDeltaSqlRecipe(
+        "id_sql_batch", "id_sql_dup", "url", "doc_id", "text")).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate base url")))
+  }
 }
