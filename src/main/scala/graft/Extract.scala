@@ -141,10 +141,23 @@ object Extract {
       if (nPending == nNonNull) pendingNonNull
       else {
         println(s"""{"job":"graft-extract","warn":"input has ${nNonNull - nPending} duplicate-url rows; keeping latest warc_ts per url"}""")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
-          .orderBy(col("warc_ts").desc, md5(col("html")).desc, md5(col("text")).desc, col("lang").desc)
-        pendingNonNull.toDF().withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn").as[CrawlRow]
+        // max_by AGGREGATE, not a row_number window: a window would sort
+        // every copy of a hot url (WITH its html payload) inside one
+        // task — a url recrawled millions of times OOMs it. The partial
+        // aggregate keeps ONE winner payload per url per partition
+        // map-side, so the exchange carries at most (urls x partitions)
+        // single rows. Winner rule unchanged: lexicographic max of
+        // (warc_ts, md5(html), md5(text), lang) — null fields sort
+        // smallest on both formulations, and full-key ties are
+        // content-identical copies (md5-as-identity, as everywhere)
+        pendingNonNull.toDF()
+          .groupBy(col("url"))
+          .agg(max_by(
+            struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")),
+            struct(col("warc_ts"), md5(col("html")), md5(col("text")), col("lang"))).as("r"))
+          .select(col("r.url"), col("r.warc_ts"), col("r.html"),
+            col("r.text"), col("r.lang"))
+          .as[CrawlRow]
       }
 
     // deterministic batch id (stable across retries of the same pending
