@@ -14,7 +14,8 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
-  *   [--decontaminate-bloom] [--dedup-spans W] [--quality-reps] [--table-format parquet|orc]
+  *   [--decontaminate-bloom] [--dedup-spans W] [--quality-reps] [--table-format parquet|orc] \
+  *   [--recrawl BASEDIR]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -25,7 +26,10 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   * curation stage runs over everything committed so far and lands as a
   * replace-style `curated` snapshot (quality/langid gates, exact +
   * near-dup dedup, token packing). A re-run over the same input is a
-  * no-op.
+  * no-op. With `--recrawl <previous crawl parquet>` the job extracts
+  * only urls whose content changed vs that snapshot plus anything never
+  * committed — changed urls append a NEWER version row, and per-url
+  * consumers read through `Resume.currentPerUrl`.
   * Prints one JSON summary line on stdout.
   */
 object Extract {
@@ -39,7 +43,8 @@ object Extract {
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
       decontaminate: String = null, deconBloom: Boolean = false,
       dedupSpansW: Int = 0,
-      qualityReps: Boolean = false, tableFormat: String = "parquet")
+      qualityReps: Boolean = false, tableFormat: String = "parquet",
+      recrawl: String = null)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -68,6 +73,7 @@ object Extract {
           a = a.copy(dedupSpansW = w); i += 2
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2
+        case "--recrawl"          => a = a.copy(recrawl = value("--recrawl")); i += 2
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -109,7 +115,52 @@ object Extract {
     val docsTable = new ParquetManifestTable(s"${a.outRoot}/documents", a.tableFormat)
     val metricsTable = new ParquetManifestTable(s"${a.outRoot}/metrics", a.tableFormat)
 
-    val pending0 = Resume.pending(input, docsTable)
+    val pending0 =
+      if (a.recrawl == null) Resume.pending(input, docsTable)
+      else {
+        // RECRAWL MODE (--recrawl <previous crawl parquet>): work = urls
+        // whose content CHANGED vs the base crawl snapshot, plus anything
+        // never committed (new urls, and unchanged urls whose extraction
+        // never ran). Changed urls are deliberately RE-extracted — the
+        // commit appends a second row for them, and per-url consumers
+        // (curation below, any reader) go through Resume.currentPerUrl.
+        // Content identity hashes html AND text (the two payload fields);
+        // re-running the same recrawl input is still a no-op via the
+        // deterministic batch id (commit is idempotent per batch).
+        val base = spark.read.parquet(a.recrawl)
+          .select("url", "warc_ts", "html", "text", "lang")
+        val contentKey = md5(concat_ws("|",
+          coalesce(md5(col("html")), lit("")), coalesce(md5(col("text")), lit(""))))
+        val delta = graft.operators.WebCuration.incrementalDeltaBy(
+          input.toDF(), base, "url", "url", contentKey)
+        val decision =
+          if (!docsTable.exists || docsTable.committedBatches.isEmpty)
+            delta.select(col("url")) // nothing committed: everything is work
+          else {
+            // "changed" re-extracts only when this capture is NEWER than
+            // the committed version (warc_ts compare) — otherwise a
+            // re-run of the same recrawl re-extracts its changed urls
+            // forever; "new"/"unchanged" extract only if never committed.
+            // Every frame here is url-keyed and compact (url, flag, ts).
+            val urlStatus = delta
+              .select(col("url"), (col("status") === "changed").cast("int").as("__ch"))
+              .groupBy(col("url")).agg(max(col("__ch")).as("__ch"))
+            val inputTs = input.toDF().groupBy(col("url"))
+              .agg(max(col("warc_ts")).as("__its"))
+            val committedTs = docsTable.read(spark).groupBy(col("url"))
+              .agg(max(col("warc_ts")).as("__cts"))
+            urlStatus.join(inputTs, Seq("url"))
+              .join(committedTs, Seq("url"), "left")
+              .where(col("__cts").isNull ||
+                (col("__ch") === 1 && col("__its") > col("__cts")))
+              .select(col("url"))
+          }
+        // the semi join drops null-url rows; re-attach them so the loud
+        // null-url accounting below still sees (and reports) them
+        input.toDF().join(decision, Seq("url"), "left_semi")
+          .unionByName(input.toDF().where(col("url").isNull))
+          .as[CrawlRow]
+      }
     // one input scan answers the pending count, batch identity, the
     // url-uniqueness check the once-per-url commit contract needs, AND
     // the null-url count (the distinct count shuffles urls only, never
@@ -223,7 +274,10 @@ object Extract {
       // the full training-data stage over everything committed so far:
       // quality gate -> langid -> exact dedup -> near-dup clusters -> token
       // packing. A REPLACE-style snapshot per run (read with readLatest).
-      val committed = docsTable.read(spark)
+      // currentPerUrl collapses recrawl-superseded versions to the newest
+      // row per url — identity when the table never saw --recrawl, and the
+      // guard duplicate doc_ids would otherwise trip downstream
+      val committed = Resume.currentPerUrl(docsTable.read(spark))
       // --decontaminate <parquet dir>: a benchmark/eval table with a
       // `text` column; curated survivors overlapping it by >= 3 distinct
       // 5-token shingles are dropped (ids are synthesized — the benchmark

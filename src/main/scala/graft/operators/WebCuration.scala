@@ -596,9 +596,17 @@ object WebCuration {
     * match nothing and are ignored. NULL-text comparisons are null-safe
     * (both NULL == unchanged). */
   def incrementalDelta(batch: DataFrame, base: DataFrame, urlCol: String,
-                       idCol: String, textCol: String): DataFrame = {
+                       idCol: String, textCol: String): DataFrame =
+    incrementalDeltaBy(batch, base, urlCol, idCol, md5(col(textCol)))
+
+  /** [[incrementalDelta]] under an arbitrary derived content-identity
+    * expression, evaluated against BOTH frames' columns — e.g. a combined
+    * md5 over several payload columns when content is more than one text
+    * field (the extract job's recrawl mode hashes html AND text). */
+  def incrementalDeltaBy(batch: DataFrame, base: DataFrame, urlCol: String,
+                         idCol: String, keyCol: Column): DataFrame = {
     val b = base
-      .select(col(urlCol).as("url"), md5(col(textCol)).as("base_md5"))
+      .select(col(urlCol).as("url"), keyCol.as("base_md5"))
       .where(col("url").isNotNull)
       .groupBy(col("url"))
       .agg(count(lit(1)).as("__copies"), max(col("base_md5")).as("base_md5"))
@@ -610,7 +618,7 @@ object WebCuration {
         lit(true).as("__in_base"))
     batch
       .select(col(idCol).as("id"), col(urlCol).as("url"),
-        md5(col(textCol)).as("batch_md5"))
+        keyCol.as("batch_md5"))
       .join(b, Seq("url"), "left")
       .select(col("id"), col("url"),
         when(col("__in_base").isNull, lit("new"))

@@ -131,4 +131,23 @@ object Resume {
       input.join(committedUrls, Seq("url"), "left_anti").as[CrawlRow]
     }
   }
+
+  /** The CURRENT row per url over an extracted-documents frame whose
+    * append batches may hold several versions of a url (recrawl mode,
+    * `Extract --recrawl`): newest `warc_ts` wins, `raw_md5` +
+    * `md5(contents)` tiebreak — the same lexicographic winner rule as the
+    * extract job's input dedup, and the same `max_by` AGGREGATE shape
+    * (one winner payload per url per partition map-side; never a
+    * row_number window sorting a hot url's full version history in one
+    * task). Identity on a table that is already one-row-per-url. */
+  def currentPerUrl(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = docs.columns.toSeq
+    require(Seq("url", "warc_ts", "raw_md5", "contents").forall(cols.contains),
+      s"currentPerUrl needs url/warc_ts/raw_md5/contents columns, got: $cols")
+    docs.groupBy(col("url"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col("warc_ts"), col("raw_md5"), md5(col("contents")))).as("__r"))
+      .select(cols.map(c => col("__r." + c).as(c)): _*)
+  }
 }

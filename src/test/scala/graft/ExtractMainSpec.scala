@@ -255,4 +255,57 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs.length == 1, s"expected exactly one committed row, got ${docs.length}")
     assert(docs(0).getAs[Boolean]("ok"), String.valueOf(docs(0).getAs[String]("failure")))
   }
+
+  test("--recrawl: only changed+new urls extract; currentPerUrl reads newest; re-run no-op; curate survives versions") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_rc_base").toString
+    val reDir = java.nio.file.Files.createTempDirectory("graft_rc_re").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rc_out").toString
+
+    // initial crawl: 12 urls, extracted normally
+    val base = CrawlCorpus.crawl(spark, 12, 5L).toDF()
+    base.write.mode("overwrite").parquet(baseDir)
+    Extract.main(Array(baseDir, outDir, "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents")
+    assert(docs.committedBatches.size == 1 && docs.read(spark).count() == 12)
+
+    // recrawl: same 12 urls one day later — 2 html pages' content edited —
+    // plus 2 brand-new urls. Only those 4 may extract.
+    val changed = Seq("test://crawl/1/page.html", "test://crawl/3/page.html")
+    val re = CrawlCorpus.crawl(spark, 14, 5L).toDF()
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
+      .withColumn("html",
+        when(col("url").isin(changed: _*),
+          concat(col("html"), lit("<p>fresh paragraph</p>".getBytes("UTF-8"))))
+          .otherwise(col("html")))
+    re.write.mode("overwrite").parquet(reDir)
+    // --curate on the recrawl run: curation must read ONE row per url
+    // through currentPerUrl despite the superseded versions
+    Extract.main(Array(reDir, outDir, "--recrawl", baseDir, "--curate", "--partitions", "2"))
+    assert(docs.committedBatches.size == 2)
+    val all = docs.read(spark)
+    assert(all.count() == 16, "12 originals + 2 changed versions + 2 new")
+
+    // currentPerUrl: one row per url; changed urls resolve to the NEWER
+    // version (bumped warc_ts), everything else keeps its original row
+    val current = graft.sources.Resume.currentPerUrl(all)
+    assert(current.count() == 14)
+    val changedRows = current.where(col("url").isin(changed: _*))
+      .select("url", "warc_ts").collect()
+    val freshTs = re.where(col("url").isin(changed: _*))
+      .select("url", "warc_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toMap
+    changedRows.foreach(r =>
+      assert(r.getTimestamp(1) == freshTs(r.getString(0)),
+        s"${r.getString(0)} must resolve to the recrawl version"))
+
+    val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated").readLatest(spark)
+    assert(curated.select("doc_id").distinct().count() == curated.count(),
+      "curate must see one row per url despite superseded versions")
+
+    // re-running the same recrawl is a no-op: the changed urls' committed
+    // versions already carry the recrawl's warc_ts, so nothing is newer
+    Extract.main(Array(reDir, outDir, "--recrawl", baseDir, "--partitions", "2"))
+    assert(docs.committedBatches.size == 2, "idempotent recrawl re-run")
+    assert(docs.read(spark).count() == 16)
+  }
 }
