@@ -196,10 +196,13 @@ object Bench {
     // bench for the round). Contract: stdout line keys queries by their
     // short qNN prefix and carries no bands; BENCH_OUT.json carries the
     // full names and {best,median} bands for round-over-round comparison.
-    def qJson(key: String => String): String = queryTimes.map { case (k, best, _) =>
-      "\"" + key(k) + "\":" + f"$best%.3f"
+    // stdout gets 2-decimal seconds (a 76-query map must stay well under
+    // the tail capture as the surface keeps growing); BENCH_OUT.json keeps
+    // the full 3-decimal resolution for round-over-round comparison
+    def qJson(key: String => String, dp: Int): String = queryTimes.map { case (k, best, _) =>
+      "\"" + key(k) + "\":" + s"%.${dp}f".format(best)
     }.mkString("{", ",", "}")
-    val qs = qJson(_.takeWhile(_ != '_'))
+    val qs = qJson(_.takeWhile(_ != '_'), 2)
     val qBands = queryTimes
       .map { case (k, best, med) => "\"" + k + "\":{\"best\":" + f"$best%.3f" + ",\"median\":" + f"$med%.3f" + "}" }
       .mkString("{", ",", "}")
@@ -221,9 +224,9 @@ object Bench {
       s""""work_conservation_8_to_32":${f"$workRatio8to32%.3f"},""" +
       s""""efficiency_2_to_8":${f"$eff2to8%.3f"},"efficiency":${f"$eff8to32%.3f"}}"""
     def assemble(queries: String, bands: String): String =
-      s"""{"metric":"extraction docs/sec at local[32] (4N); queries best-of-3 warm sec at local[$cpus] (qNN keys; full names+bands in BENCH_OUT.json)","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$queries,$bands"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},$sustained$scaling}"""
+      s"""{"metric":"extraction docs/sec at local[32] (4N); warm query sec (full detail in BENCH_OUT.json)","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$queries,$bands"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},$sustained$scaling}"""
     val stdoutLine = assemble(qs, "")
-    val fileJson = assemble(qJson(identity), s""""query_bands":$qBands,""")
+    val fileJson = assemble(qJson(identity, 3), s""""query_bands":$qBands,""")
     if (stdoutLine.length > 1500)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${stdoutLine.length} bytes — " +
         "approaching the driver's 2,000-byte tail capture; trim it")

@@ -92,4 +92,39 @@ class StreamingRecrawlSpec extends AnyFunSuite {
     assert(latest == batch,
       s"latest-version view must equal batch: missing=${(batch -- latest).take(3)} extra=${(latest -- batch).take(3)}")
   }
+
+  test("incrementalDelta is stream-ready: stream-static classification == batch over two deliveries") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_id_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_id_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_id_ck").toString
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val u = concat(lit("u"), col("doc_id").cast("string"))
+    val base = docs.where(col("doc_id") % 3 =!= 0).select(u.as("url"), col("text"))
+    val batchIn = docs.select(col("doc_id"), u.as("url"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    val expected = WebCuration.incrementalDelta(batchIn, base, "url", "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+
+    batchIn.where(col("doc_id") < 250).coalesce(1).write.mode("append").parquet(inDir)
+    batchIn.where(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(inDir)
+    // the SAME batch operator over a streaming frame: the base side is
+    // static (reduced to (url, md5) once), the classification is a
+    // stateless stream-static left join — no state store, no watermark
+    val stream = spark.readStream
+      .schema("doc_id bigint, url string, text string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = WebCuration.incrementalDelta(stream, base, "url", "doc_id", "text")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000)) // stateless: AvailableNow self-terminates
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+  }
 }
