@@ -96,6 +96,22 @@ object Extract {
     a
   }
 
+  /** One row per url, deterministic winner: lexicographic max of
+    * (warc_ts, md5(html), md5(text), lang) — null fields sort smallest,
+    * full-key ties are content-identical copies (md5-as-identity, as
+    * everywhere). A max_by AGGREGATE, not a row_number window: a window
+    * would sort every copy of a hot url (WITH its html payload) inside
+    * one task — a url recrawled millions of times OOMs it; the partial
+    * aggregate keeps ONE winner payload per url per partition map-side.
+    * Shared by the duplicate-input dedup and the recrawl base collapse. */
+  private def dedupCrawlByUrl(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy(col("url"))
+      .agg(max_by(
+        struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")),
+        struct(col("warc_ts"), md5(col("html")), md5(col("text")), col("lang"))).as("r"))
+      .select(col("r.url").as("url"), col("r.warc_ts").as("warc_ts"),
+        col("r.html").as("html"), col("r.text").as("text"), col("r.lang").as("lang"))
+
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
     // spark-submit owns master/executor config; default for bare local runs
@@ -127,15 +143,21 @@ object Extract {
         // Content identity hashes html AND text (the two payload fields);
         // re-running the same recrawl input is still a no-op via the
         // deterministic batch id (commit is idempotent per batch).
-        val base = spark.read.parquet(a.recrawl)
-          .select("url", "warc_ts", "html", "text", "lang")
+        // the base snapshot gets the SAME duplicate-url collapse the job
+        // applies to its own input — real crawl parquets carry duplicate
+        // urls, and the diff's one-row-per-url guard must not kill the
+        // documented usage (--recrawl <the previous run's input dir>)
+        val base = dedupCrawlByUrl(spark.read.parquet(a.recrawl)
+          .select("url", "warc_ts", "html", "text", "lang"))
         val contentKey = md5(concat_ws("|",
           coalesce(md5(col("html")), lit("")), coalesce(md5(col("text")), lit(""))))
         val delta = graft.operators.WebCuration.incrementalDeltaBy(
           input.toDF(), base, "url", "url", contentKey)
-        val decision =
+        val decision0 =
           if (!docsTable.exists || docsTable.committedBatches.isEmpty)
-            delta.select(col("url")) // nothing committed: everything is work
+            // nothing committed: every url is work
+            delta.select(col("url")).distinct()
+              .select(col("url"), lit(true).as("__work"), lit(false).as("__nullts"))
           else {
             // "changed" re-extracts only when this capture is NEWER than
             // the committed version (warc_ts compare) — otherwise a
@@ -151,14 +173,27 @@ object Extract {
               .agg(max(col("warc_ts")).as("__cts"))
             urlStatus.join(inputTs, Seq("url"))
               .join(committedTs, Seq("url"), "left")
-              .where(col("__cts").isNull ||
-                (col("__ch") === 1 && col("__its") > col("__cts")))
-              .select(col("url"))
+              .select(col("url"),
+                (col("__cts").isNull ||
+                  (col("__ch") === 1 && col("__its") > col("__cts"))).as("__work"),
+                // changed content but a NULL input ts cannot beat any
+                // committed ts — surfaced loudly below, never dropped mute
+                (col("__ch") === 1 && col("__cts").isNotNull &&
+                  col("__its").isNull).as("__nullts"))
           }
-        // the semi join drops null-url rows; re-attach them so the loud
-        // null-url accounting below still sees (and reports) them
-        input.toDF().join(decision, Seq("url"), "left_semi")
-          .unionByName(input.toDF().where(col("url").isNull))
+        // ONE materialization of the compact (url, flags) frame: the delta
+        // diff is a full payload scan of input AND base — without this it
+        // would re-run for the null-ts count, the pstat action, and the
+        // extraction action
+        val decision = graft.operators.Dedup.checkpointDf(decision0, reliable = false)
+        val nNullTs = decision.where(col("__nullts")).count()
+        if (nNullTs > 0)
+          println(s"""{"job":"graft-extract","warn":"recrawl: $nNullTs changed urls have null warc_ts and cannot supersede their committed version; skipped"}""")
+        // null-safe semi join: null-url input rows match the decision\'s
+        // null-url group and flow into the loud null-url accounting below
+        // (an equality join would silently vanish them)
+        val work = decision.where(col("__work")).select(col("url").as("__wurl"))
+        input.toDF().join(work, col("url") <=> col("__wurl"), "left_semi")
           .as[CrawlRow]
       }
     // one input scan answers the pending count, batch identity, the
@@ -192,23 +227,7 @@ object Extract {
       if (nPending == nNonNull) pendingNonNull
       else {
         println(s"""{"job":"graft-extract","warn":"input has ${nNonNull - nPending} duplicate-url rows; keeping latest warc_ts per url"}""")
-        // max_by AGGREGATE, not a row_number window: a window would sort
-        // every copy of a hot url (WITH its html payload) inside one
-        // task — a url recrawled millions of times OOMs it. The partial
-        // aggregate keeps ONE winner payload per url per partition
-        // map-side, so the exchange carries at most (urls x partitions)
-        // single rows. Winner rule unchanged: lexicographic max of
-        // (warc_ts, md5(html), md5(text), lang) — null fields sort
-        // smallest on both formulations, and full-key ties are
-        // content-identical copies (md5-as-identity, as everywhere)
-        pendingNonNull.toDF()
-          .groupBy(col("url"))
-          .agg(max_by(
-            struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")),
-            struct(col("warc_ts"), md5(col("html")), md5(col("text")), col("lang"))).as("r"))
-          .select(col("r.url"), col("r.warc_ts"), col("r.html"),
-            col("r.text"), col("r.lang"))
-          .as[CrawlRow]
+        dedupCrawlByUrl(pendingNonNull.toDF()).as[CrawlRow]
       }
 
     // deterministic batch id (stable across retries of the same pending

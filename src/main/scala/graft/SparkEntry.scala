@@ -850,10 +850,15 @@ object SparkEntry {
     // raw-byte dedup (q13) misses them and only the canonical
     // lowercase/strip/collapse key collapses each pair
     "q74_normalized_dedup" -> ((s, dir) => {
-      val restyled = docsWithDups(s, dir).select(col("doc_id"),
-        when(col("doc_id") >= 100000L,
-          concat(lit("  "), upper(col("text")), lit("!!  ")))
-          .otherwise(col("text")).as("text"))
+      // the restyle applies to the UNION branch itself (mirroring the
+      // oracle's CTE), never an id-range test — a doc_id >= 100000
+      // predicate would silently restyle REAL docs the first time a
+      // corpus carries six-digit ids, diverging from the oracle
+      val d = t(s, dir, "documents")
+      val restyled = d.select(col("doc_id"), col("text")).unionByName(
+        d.where(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("!!  ")).as("text")))
       Dedup.normalizedDedup(restyled, "doc_id", "text")
         .orderBy(col("norm_md5"))
     }),
@@ -1975,7 +1980,8 @@ object SparkEntry {
            FROM documents WHERE doc_id < 20
          ), norm AS (
            SELECT doc_id,
-                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                  md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                      lower(text), '\s', ' ', 'g'),
                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
            FROM docs
          )

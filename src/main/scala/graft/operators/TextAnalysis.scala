@@ -41,15 +41,20 @@ object TextAnalysis {
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))
 
   /** Aggressive ASCII normalization for dedup keys (the CCNet-style
-    * canonical form): lowercase, strip every char outside [a-z0-9 ],
-    * collapse space runs, trim — so case, punctuation and spacing variants
-    * of the same content collapse to one key. Pure codegen'd string/regex
-    * ops; both patterns are literal character classes valid and equivalent
-    * in java.util.regex and RE2, so the oracle replays the chain verbatim
-    * (DuckDB needs the 'g' flag — its regexp_replace defaults to
-    * first-match-only, Spark's to all). Map-local, no shuffle. */
+    * canonical form): lowercase, map every whitespace char to a space
+    * FIRST (a newline is a word separator — stripping it would weld
+    * "hello\nworld" into "helloworld", so re-wrapped mirror pages would
+    * get a different key), strip every remaining char outside [a-z0-9 ],
+    * collapse space runs, trim — so case, punctuation and
+    * spacing/wrapping variants of the same content collapse to one key.
+    * Pure codegen'd string/regex ops; all three patterns are character
+    * classes valid and equivalent in java.util.regex and RE2, so the
+    * oracle replays the chain verbatim (DuckDB needs the 'g' flag — its
+    * regexp_replace defaults to first-match-only, Spark's to all).
+    * Map-local, no shuffle. */
   def normalizeText(textCol: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(lower(textCol), "\\s", " "), "[^a-z0-9 ]", ""), " +", " "))
 
   /** BPE-ish subword-count estimate: word pieces of <= 4 chars. Native
     * single-pass expression, bit-identical to [[bpeTokenEstimateDeclarative]]

@@ -570,15 +570,17 @@ object WebCuration {
     * filtered to each url's newest capture (payload columns intact).
     * The winner set is joined back by id (left_semi — compact key, text
     * stays put), so ids must be unique; duplicates raise_error loudly via
-    * the shared anchor guard instead of silently emitting copies. */
+    * the shared anchor guard instead of silently emitting copies. Both
+    * semi joins are null-safe (<=>): a url whose winning capture carries
+    * a null id must still emit its winner row — an equality join would
+    * silently DELETE that url from the collapse (the one legal null id
+    * is unique, so <=> matches exactly its row). */
   def collapseRecrawls(df: DataFrame, urlCol: String, tsCol: String,
                        idCol: String): DataFrame = {
-    val winners = latestCapture(df, urlCol, tsCol, idCol)
-      .select(col("id"))
-      .where(col("id").isNotNull)
-    df.join(Dedup.checkedIdAnchor(df, idCol, "WebCuration.collapseRecrawls")
-        .withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
-      .join(winners.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    val winners = latestCapture(df, urlCol, tsCol, idCol).select(col("id"))
+    df.join(Dedup.checkedIdAnchor(df, idCol, "WebCuration.collapseRecrawls"),
+        df(idCol) <=> col("id"), "left_semi")
+      .join(winners, df(idCol) <=> winners("id"), "left_semi")
   }
 
   /** Incremental recrawl ingest (snapshot diff / CDC): classify each batch

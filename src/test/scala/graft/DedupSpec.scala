@@ -253,7 +253,9 @@ class DedupSpec extends AnyFunSuite {
       "  a - b -- c  " -> "a b c",
       "already clean" -> "already clean",
       "***" -> "",               // all stripped -> empty, not null
-      "A" -> "a")
+      "A" -> "a",
+      "hello\nworld" -> "hello world",   // newline is a word SEPARATOR,
+      "tab\there\r\nnow" -> "tab here now") // never welded away
     val out = cases.map(_._1).toDF("t")
       .select(TextAnalysis.normalizeText(col("t"))).as[String].collect().toSeq
     assert(out == cases.map(_._2), out.mkString("|"))

@@ -308,4 +308,35 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs.committedBatches.size == 2, "idempotent recrawl re-run")
     assert(docs.read(spark).count() == 16)
   }
+
+  test("--recrawl tolerates duplicate-url base snapshots and skips (loudly) null-ts changed urls") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_rcb_base").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_rcb_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rcb_out").toString
+
+    val crawl = CrawlCorpus.crawl(spark, 8, 3L).toDF()
+    // the base is the previous run's own input — which carried a duplicate
+    // url row (real crawls do); the diff must collapse it, not raise
+    crawl.unionByName(
+        crawl.where(col("url") === "test://crawl/1/page.html")
+          .withColumn("warc_ts", col("warc_ts") - expr("INTERVAL 1 HOUR")))
+      .write.mode("overwrite").parquet(baseDir)
+    Extract.main(Array(baseDir, outDir, "--partitions", "2"))
+    val docs = new graft.sources.ParquetManifestTable(s"$outDir/documents")
+    assert(docs.committedBatches.size == 1 && docs.read(spark).count() == 8)
+
+    // recrawl: one url's content changed but its warc_ts is NULL — it can
+    // never supersede the committed capture, so the run is a no-op (and
+    // warns) instead of thrashing or crashing
+    crawl.withColumn("warc_ts",
+        when(col("url") === "test://crawl/3/page.html", lit(null)).otherwise(col("warc_ts")))
+      .withColumn("html",
+        when(col("url") === "test://crawl/3/page.html",
+          concat(col("html"), lit("<p>edited</p>".getBytes("UTF-8"))))
+          .otherwise(col("html")))
+      .write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--recrawl", baseDir, "--partitions", "2"))
+    assert(docs.committedBatches.size == 1, "null-ts changed url must not commit a new batch")
+    assert(docs.read(spark).count() == 8)
+  }
 }

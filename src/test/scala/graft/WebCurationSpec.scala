@@ -336,6 +336,29 @@ class WebCurationSpec extends AnyFunSuite {
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
   }
 
+  test("keepFirstSpans duplicate-id guard survives column pruning (Filter, not a projected alias)") {
+    val dup = Seq((1L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      // a consumer that never selects the count column must still trip the
+      // guard — a projected raise_error alias would be pruned away
+      WebCuration.keepFirstSpans(dup, "doc_id", "text", w = 2)
+        .select("id", "clean_text").collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate input id")))
+  }
+
+  test("collapseRecrawls keeps a url whose winning capture has a null id (null-safe join-back)") {
+    val df = Seq(
+      (Option.empty[Long], "u1", Some(10L), "newest-null-id"),
+      (Option(2L), "u1", Some(5L), "stale"),
+      (Option(3L), "u2", Some(1L), "other"))
+      .toDF("doc_id", "url", "warc_ts", "text")
+    val out = WebCuration.collapseRecrawls(df, "url", "warc_ts", "doc_id")
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    // an equality join would silently DELETE u1 here
+    assert(out == Set(("u1", "newest-null-id"), ("u2", "other")))
+  }
+
   test("incrementalDelta classifies new/changed/unchanged; NULL urls and texts are null-safe") {
     val base = Seq(
       ("u1", Option("same")),
