@@ -892,6 +892,20 @@ object SparkEntry {
       WebCuration.incrementalDelta(batch, base, "url", "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // token-distribution drift between two snapshots: corpus B is corpus A
+    // with ' the ' swapped to ' zzz ' in every 2nd doc and a ' driftterm'
+    // appended to every 4th — the report surfaces exactly the tokens whose
+    // whole-bit surprisal moved (new/vanished tokens via the OOV charge)
+    "q77_token_drift" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, replace(col("text"), lit(" the "), lit(" zzz ")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 4 === 0, lit(" driftterm")).otherwise(lit(""))).as("text"))
+      LanguageModel.tokenDrift(a, b, "doc_id", "text")
+        .orderBy(col("token"))
     })
   )
 
@@ -2012,6 +2026,49 @@ object SparkEntry {
            ON c.url = a.url AND c.ts IS NOT DISTINCT FROM a.max_ts
          GROUP BY a.url, a.n_captures, a.max_ts
          ORDER BY a.url""",
+
+    // same whole-bit surprisal identity as q64 (floor(log2 n) ==
+    // length(bin(n)) - 1), replayed per SIDE with the OOV charge
+    // (log_total + 1) for tokens absent from one corpus; only movers
+    // (|delta| >= 1 bit) survive, so the engines must agree exactly
+    "q77_token_drift" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN replace(text, ' the ', ' zzz ')
+                        ELSE text END) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN ' driftterm' ELSE '' END) AS text
+           FROM documents
+         ), ta AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE text IS NOT NULL)
+           WHERE token <> '' GROUP BY token
+         ), tb AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM b WHERE text IS NOT NULL)
+           WHERE token <> '' GROUP BY token
+         ), tot AS (
+           SELECT (SELECT length(bin(CAST(sum(cnt_a) AS BIGINT))) - 1 FROM ta) AS la,
+                  (SELECT length(bin(CAST(sum(cnt_b) AS BIGINT))) - 1 FROM tb) AS lb
+         ), j AS (
+           SELECT coalesce(ta.token, tb.token) AS token, cnt_a, cnt_b,
+                  CASE WHEN cnt_a IS NOT NULL
+                       THEN la - (length(bin(cnt_a)) - 1) ELSE la + 1 END AS ba,
+                  CASE WHEN cnt_b IS NOT NULL
+                       THEN lb - (length(bin(cnt_b)) - 1) ELSE lb + 1 END AS bb
+           FROM ta FULL OUTER JOIN tb ON ta.token = tb.token, tot
+         )
+         SELECT token,
+                CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+                CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b,
+                CAST(ba AS BIGINT) AS bits_a,
+                CAST(bb AS BIGINT) AS bits_b,
+                CAST(bb - ba AS BIGINT) AS delta_bits
+         FROM j
+         WHERE greatest(coalesce(cnt_a, 0), coalesce(cnt_b, 0)) >= 1
+           AND abs(bb - ba) >= 1
+         ORDER BY token""",
 
     // same md5-compared LEFT JOIN; base urls unique by construction so
     // e.url IS NULL is the in-base marker

@@ -97,4 +97,51 @@ object LanguageModel {
     * model, and call [[surprisalStats]] directly. */
   def selfSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
     surprisalStats(df, idCol, textCol, unigramModel(df, idCol, textCol))
+
+  /** Token-DISTRIBUTION drift between two corpora — the monitoring signal
+    * a recrawl pipeline watches between snapshots (did the crawl's content
+    * mix shift? did a template token flood in? did a language drain out?).
+    * Per token: occurrence counts and whole-bit surprisal under EACH
+    * corpus's own unigram model, and the integer delta
+    * `delta_bits = bits_b - bits_a` (positive = rarer in B). A token
+    * absent from one side is charged that side's OOV surprisal
+    * (`floor(log2(total)) + 1`, the [[surprisalStats]] convention) — so
+    * brand-new and vanished tokens surface with the largest deltas.
+    *
+    * Output: (token, cnt_a, cnt_b, bits_a, bits_b, delta_bits), filtered
+    * to `greatest(cnt_a, cnt_b) >= minCnt` and `|delta_bits| >=
+    * minAbsDelta` (at whole-bit quantization, unmoved tokens are exactly
+    * delta 0 and drop out — the report is only the movers).
+    *
+    * Scale shape: both sides aggregate map-only `token_tf` rows by
+    * md5(token) (one representative string rides each vocab-sized model
+    * row, the [[TfIdf.docFrequencies]] discipline); the drift join is
+    * vocab x vocab on 16-byte keys; totals are 1-row broadcast frames.
+    * Integer end to end — the q77 oracle replays it bit-for-bit. */
+  def tokenDrift(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+                 minCnt: Long = 1L, minAbsDelta: Long = 1L): DataFrame = {
+    require(minCnt >= 1, s"minCnt must be >= 1, got $minCnt")
+    require(minAbsDelta >= 0, s"minAbsDelta must be >= 0, got $minAbsDelta")
+    def side(df: DataFrame, cntName: String, tokName: String) =
+      TfIdf.termFrequencies(df, idCol, textCol)
+        .groupBy(md5(col("token")).as("tk"))
+        .agg(min(col("token")).as(tokName), sum(col("tf")).as(cntName))
+    val sa = side(a, "cnt_a", "token_a")
+    val sb = side(b, "cnt_b", "token_b")
+    val totA = sa.agg(floorLog2(sum(col("cnt_a"))).as("log_tot_a"))
+    val totB = sb.agg(floorLog2(sum(col("cnt_b"))).as("log_tot_b"))
+    val bitsA = when(col("cnt_a").isNotNull, col("log_tot_a") - floorLog2(col("cnt_a")))
+      .otherwise(col("log_tot_a") + 1L)
+    val bitsB = when(col("cnt_b").isNotNull, col("log_tot_b") - floorLog2(col("cnt_b")))
+      .otherwise(col("log_tot_b") + 1L)
+    sa.join(sb, Seq("tk"), "full_outer")
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .select(coalesce(col("token_a"), col("token_b")).as("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+        bitsA.as("bits_a"), bitsB.as("bits_b"),
+        (bitsB - bitsA).as("delta_bits"))
+      .where(greatest(col("cnt_a"), col("cnt_b")) >= minCnt &&
+        abs(col("delta_bits")) >= minAbsDelta)
+  }
 }

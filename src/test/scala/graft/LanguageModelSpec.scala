@@ -75,4 +75,27 @@ class LanguageModelSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("tokenDrift: movers only, OOV charges on both sides, unmoved tokens drop out") {
+    import spark.implicits._
+    // A: 8x "aa", 4x "bb", 2x "cc", 2x "dd"  (total 16, log_tot = 4)
+    // B: 8x "aa", 1x "bb", 2x "cc", 2x "ee"  (total 13, log_tot = 3)
+    val a = Seq((1L, ("aa " * 8 + "bb " * 4 + "cc cc dd dd").trim)).toDF("id", "text")
+    val bd = Seq((1L, ("aa " * 8 + "bb " + "cc cc ee ee").trim)).toDF("id", "text")
+    val out = LanguageModel.tokenDrift(a, bd, "id", "text")
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // bits: A: aa 4-3=1, bb 4-2=2, cc 4-1=3, dd 4-1=3, OOV_A = 5
+    //       B: aa 3-3=0, bb 3-0=3, cc 3-1=2, ee 3-1=2, OOV_B = 4
+    // deltas: aa -1, bb +1, cc -1, dd 4-3=+1 (vanished), ee 2-5=-3 (new)
+    assert(out == Seq(
+      ("aa", 8L, 8L, 1L, 0L, -1L),
+      ("bb", 4L, 1L, 2L, 3L, 1L),
+      ("cc", 2L, 2L, 3L, 2L, -1L),
+      ("dd", 2L, 0L, 3L, 4L, 1L),
+      ("ee", 0L, 2L, 5L, 2L, -3L)))
+    // identical corpora: nothing moves, the report is empty
+    assert(LanguageModel.tokenDrift(a, a, "id", "text").count() == 0L)
+  }
 }
