@@ -906,6 +906,28 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0, lit(" driftterm")).otherwise(lit(""))).as("text"))
       LanguageModel.tokenDrift(a, b, "doc_id", "text")
         .orderBy(col("token"))
+    }),
+
+    // frequency-ranked tokenizer vocabulary: top-20 tokens with >= 2
+    // corpus occurrences, dense ids from 1 in (cnt desc, token asc)
+    // order — both cuts bite on the 31-distinct-token corpus
+    "q78_vocab_build" -> ((s, dir) =>
+      Vocab.build(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20, minCnt = 2)
+        .orderBy(col("vid"))),
+
+    // corpus encoded against the frozen q78 vocabulary: every doc's
+    // token-id sequence in order, sub-vocab tokens (rank > 20 or cnt < 2)
+    // mapped to OOV id 0; the array rides as a space-joined string (the
+    // q46 rule: no array columns in oracle-checked output)
+    "q79_encode_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Vocab.build(docs, "doc_id", "text", vocabSize = 20, minCnt = 2)
+      Vocab.encode(docs, "doc_id", "text", vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          when(col("ids").isNotNull,
+            concat_ws(" ", col("ids").cast("array<string>"))).as("ids_str"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2321,6 +2343,59 @@ object SparkEntry {
                FROM d JOIN cl USING (g))
          SELECT doc_id, cluster_id, score,
                 CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
-         FROM j ORDER BY doc_id"""
+         FROM j ORDER BY doc_id""",
+
+    // frequency-ranked vocab: counts CAST AS BIGINT (the r4 HUGEINT
+    // lesson), rank ties broken on raw token bytes — both engines
+    // compare ASCII tokens identically
+    "q78_vocab_build" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL
+         ), c AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+         )
+         SELECT * FROM (
+           SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                    AS BIGINT) AS vid, token, cnt
+           FROM c)
+         WHERE vid <= 20 ORDER BY vid""",
+
+    // q78's vocab as a CTE, then every doc's in-order id sequence with
+    // OOV -> 0; the positional scan is the q59 idiom (raw split indexed
+    // by range(len), empties dropped AFTER positions are fixed — order
+    // is all that matters, the pos values never surface)
+    "q79_encode_ids" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL
+         ), c AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+         ), v AS (
+           SELECT * FROM (
+             SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                      AS BIGINT) AS vid, token
+             FROM c)
+           WHERE vid <= 20
+         ), toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL
+         ), tokpos AS (
+           SELECT doc_id, i AS pos, t[i+1] AS tok
+           FROM toks, unnest(range(len(t))) AS u(i)
+           WHERE t[i+1] <> ''
+         ), enc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  string_agg(CAST(coalesce(v.vid, 0) AS VARCHAR),
+                             ' ' ORDER BY pos) AS ids_str
+           FROM tokpos LEFT JOIN v ON tokpos.tok = v.token
+           GROUP BY doc_id
+         )
+         SELECT d.doc_id, CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+                e.ids_str
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN enc e USING (doc_id)
+         ORDER BY doc_id"""
   )
 }
