@@ -928,6 +928,20 @@ object SparkEntry {
           when(col("ids").isNotNull,
             concat_ws(" ", col("ids").cast("array<string>"))).as("ids_str"))
         .orderBy(col("doc_id"))
+    }),
+
+    // per-domain token-budget mixture selection: each source contributes
+    // docs in frozen md5-draw order until 700 tokens are crossed (the
+    // crossing doc included) — the bucketed two-level prefix plan must
+    // hash-match the oracle's naive cumulative window
+    "q80_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("nt",
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)))
+      WebCuration.tokenBudgetPerDomain(docs, "source", "doc_id", "nt",
+          budget = 700L)
+        .select(col("domain"), col("id").as("doc_id"), col("n_tokens"),
+          col("draw"))
+        .orderBy(col("domain"), col("doc_id"))
     })
   )
 
@@ -2396,6 +2410,28 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
                 e.ids_str
          FROM (SELECT doc_id FROM documents) d LEFT JOIN enc e USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // the NAIVE cumulative-window replay of the bucketed two-level prefix
+    // plan: kept iff the token sum of docs before it (draw, id order
+    // within the domain) is < budget — hash-equality IS the proof the
+    // decomposition is exact
+    "q80_token_budget" ->
+      """WITH t AS (
+           SELECT source AS domain, doc_id,
+                  CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                    AS n_tokens,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                    AS BIGINT) AS draw
+           FROM documents
+         ), w AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY domain ORDER BY draw, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before_t
+           FROM t
+         )
+         SELECT domain, doc_id, n_tokens, draw FROM w WHERE before_t < 700
+         ORDER BY domain, doc_id"""
   )
 }

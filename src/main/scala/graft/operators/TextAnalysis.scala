@@ -177,7 +177,7 @@ object TextAnalysis {
   /** First `hexChars`*4 bits of md5(c) as a non-negative long — the
     * engine-portable deterministic "random" draw (DuckDB:
     * CAST('0x' || substring(md5(c), 1, hexChars) AS BIGINT)). */
-  private def md5PrefixLong(c: Column, hexChars: Int): Column =
+  private[graft] def md5PrefixLong(c: Column, hexChars: Int): Column =
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
   /** Deterministic train/val/test SPLIT assignment by hashed key — the

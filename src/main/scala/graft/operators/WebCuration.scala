@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus curation operators beyond the per-document kernel: cross-doc
@@ -506,6 +507,94 @@ object WebCuration {
       .select(col("domain"), explode(col("picks")).as("p"))
       .select(col("domain"), col("p.id").as("id"),
         ScorePack.unpackScore(col("p.score")).as("score"))
+  }
+
+  /** Deterministic per-domain TOKEN-BUDGET selection — the data-mixing
+    * primitive: each domain contributes documents in a frozen random order
+    * (its docs' 40-bit md5 draws, ties broken by id) until the domain's
+    * token budget is crossed; the crossing document is included, so every
+    * domain with any document contributes at least one. A document is kept
+    * iff the token sum of the docs BEFORE it (in (draw, id) order within
+    * its domain) is `< budget` — exactly the greedy cumulative-window
+    * rule, which the q80 oracle replays naively.
+    *
+    * Output: (domain, id, n_tokens, draw) — kept rows only, the draw kept
+    * for auditability (the [[TextAnalysis.weightedSample]] convention).
+    * Ids must be unique and non-null, token counts non-negative, and the
+    * hash key non-null (all raise_error — a null draw would order
+    * differently across engines, a negative count would corrupt every
+    * prefix after it).
+    *
+    * Scale shape: the naive formulation is ONE cumulative window per
+    * domain — a hot domain's full document list serializes into a single
+    * partition's sort. Here the prefix sum is decomposed into two bounded
+    * levels instead: docs group into 4,096 buckets by their draw's top 12
+    * bits, per-(domain, bucket) token sums are a map-side-combined
+    * aggregate, the bucket-level running total is a window over AT MOST
+    * 4,096 rows per domain, and only the ONE boundary bucket per domain
+    * (where the running total crosses the budget) needs a per-document
+    * window — over ~1/4096th of the domain (draws are md5-uniform).
+    * Fully-kept buckets pass through as a filter, fully-dropped buckets
+    * never leave the bucket stats. Every exchange carries (domain, longs)
+    * — no text. The decomposition is EXACT: bucket = draw's top bits, so
+    * (bucket, draw, id) order == (draw, id) order and the two-level
+    * prefix equals the global prefix; the oracle's hash-equality is the
+    * proof. `materialize` checkpoints the compact joined frame (two
+    * consumers: the filter branch and the boundary window). */
+  def tokenBudgetPerDomain(df: DataFrame, domainCol: String, idCol: String,
+                           tokensCol: String, budget: Long,
+                           hashCol: String = null,
+                           materialize: Boolean = true,
+                           reliableCheckpoint: Boolean = false): DataFrame = {
+    require(budget > 0, s"tokenBudgetPerDomain needs budget > 0, got $budget")
+    val op = "WebCuration.tokenBudgetPerDomain"
+    val hc = if (hashCol == null) idCol else hashCol
+    val base = df
+      .select(col(domainCol).as("domain"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tok"),
+        TextAnalysis.md5PrefixLong(col(hc).cast("string"), 10).as("draw"))
+      .where(when(col("id").isNotNull && col("tok").isNotNull &&
+            col("tok") >= 0 && col("draw").isNotNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$op: needs non-null id and hash key and non-negative tokens, got id="),
+          coalesce(col("id").cast("string"), lit("null")), lit(" tok="),
+          coalesce(col("tok").cast("string"), lit("null")), lit(" draw="),
+          coalesce(col("draw").cast("string"), lit("null")))).cast("boolean")))
+      .join(Dedup.checkedIdAnchor(df, idCol, op), Seq("id"), "left_semi")
+      .withColumn("bucket", shiftright(col("draw"), 28))
+    val bstats = base.groupBy(col("domain"), col("bucket"))
+      .agg(sum(col("tok")).as("bt"))
+    val wBucket = Window.partitionBy(col("domain")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = bstats
+      .withColumn("before_b", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+      // buckets whose whole span lies at or past the budget can never
+      // keep a document (every member's prefix >= before_b >= budget)
+      .where(col("before_b") < budget)
+    // one null-safe join-back (null domains are legitimate groups), then
+    // split: compact longs only, so the checkpoint is cheap
+    val joined0 = base.alias("__b")
+      .join(marked.alias("__m"),
+        col("__b.domain") <=> col("__m.domain") &&
+          col("__b.bucket") === col("__m.bucket"))
+      .select(col("__b.domain").as("domain"), col("__b.id").as("id"),
+        col("__b.tok").as("tok"), col("__b.draw").as("draw"),
+        col("__b.bucket").as("bucket"),
+        col("__m.bt").as("bt"), col("__m.before_b").as("before_b"))
+    val joined =
+      if (materialize) Dedup.checkpointDf(joined0, reliableCheckpoint) else joined0
+    val full = joined.where(col("before_b") + col("bt") < budget)
+      .select(col("domain"), col("id"), col("tok"), col("draw"))
+    val wDoc = Window.partitionBy(col("domain"), col("bucket"))
+      .orderBy(col("draw"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = joined.where(col("before_b") + col("bt") >= budget)
+      .withColumn("wb", coalesce(sum(col("tok")).over(wDoc), lit(0L)))
+      .where(col("before_b") + col("wb") < budget)
+      .select(col("domain"), col("id"), col("tok"), col("draw"))
+    full.unionByName(boundary)
+      .select(col("domain"), col("id"), col("tok").as("n_tokens"), col("draw"))
   }
 
   /** Canonical URL for crawl-level dedup keys: lowercase scheme and host

@@ -431,4 +431,62 @@ class WebCurationSpec extends AnyFunSuite {
     }
     assert(SparkTestBase.causeMessages(e).exists(_.contains("duplicate base url")))
   }
+
+  test("tokenBudgetPerDomain == naive per-domain cumulative window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("nt",
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)))
+    val got = WebCuration.tokenBudgetPerDomain(
+        docs, "source", "doc_id", "nt", budget = 700L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // driver-side brute force: same draw, naive prefix scan per domain
+    def draw40(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(10), 16)
+    val rows = docs.select("source", "doc_id", "nt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def brute(budget: Long): Set[(String, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (dom, ds) =>
+        var cum = 0L
+        ds.toSeq.sortBy(d => (draw40(d._2), d._2)).flatMap { d =>
+          val keep = cum < budget
+          cum += d._3
+          if (keep) Some((dom, d._2)) else None
+        }
+      }.toSet
+    assert(got == brute(700L) && got.nonEmpty && got.size < rows.length)
+    // every domain contributes at least one doc (crossing doc included)
+    assert(got.map(_._1) == rows.map(_._1).toSet)
+    // a budget below any single doc keeps each domain's first draw(s)
+    val one = WebCuration.tokenBudgetPerDomain(
+        docs, "source", "doc_id", "nt", budget = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(one == brute(1L))
+  }
+
+  test("tokenBudgetPerDomain: null domains group; guards are loud") {
+    import spark.implicits._
+    val d = Seq((1L, null.asInstanceOf[String], 5L), (2L, null, 5L),
+      (4L, null, 5L), (3L, "a.com", 5L)).toDF("id", "dom", "nt")
+    val kept = WebCuration.tokenBudgetPerDomain(d, "dom", "id", "nt", 6L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // null domain is ONE group of three: budget 6 keeps its first draw
+    // (0 < 6) and the crossing second (5 < 6), drops the third (10 >= 6);
+    // a.com keeps its single doc
+    assert(kept.count(_._1.isEmpty) == 2 && kept.contains((Some("a.com"), 3L)))
+    def boom(df: org.apache.spark.sql.DataFrame): String = {
+      val e = intercept[Exception] {
+        WebCuration.tokenBudgetPerDomain(df, "dom", "id", "nt", 6L).collect()
+      }
+      SparkTestBase.causeMessages(e).mkString("; ")
+    }
+    assert(boom(Seq((1L, "a", 5L), (1L, "a", 5L)).toDF("id", "dom", "nt"))
+      .contains("duplicate input id"))
+    assert(boom(Seq((Some(1L), "a", Some(-5L))).toDF("id", "dom", "nt"))
+      .contains("non-negative tokens"))
+    assert(boom(Seq((null.asInstanceOf[java.lang.Long], "a",
+        java.lang.Long.valueOf(5L))).toDF("id", "dom", "nt"))
+      .contains("non-null id"))
+  }
 }
