@@ -942,7 +942,16 @@ object SparkEntry {
         .select(col("domain"), col("id").as("doc_id"), col("n_tokens"),
           col("draw"))
         .orderBy(col("domain"), col("doc_id"))
-    })
+    }),
+
+    // the full pipeline with cross-doc keep-first SPAN dedup as the first
+    // rewrite: exact full-doc copies die at the span stage (every span
+    // struck -> NULL text -> gate), near-dup later copies shrink to their
+    // novel remainder before the gates judge them — one derived DuckDB
+    // oracle replays the whole composition
+    "q81_curate_spandedup" -> ((s, dir) =>
+      Curate.curate(docsWithDups(s, dir), keepFirstSpansW = 5)
+        .orderBy(col("detected_lang"), col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -961,10 +970,47 @@ object SparkEntry {
          kept AS (SELECT jq.* FROM jq JOIN rk USING (doc_id) WHERE rk.rn = 1)"""
     val q38 = m("q38_curate")
     require(q38.contains(minIdKept), "q38 oracle drifted from the q67 derivation anchor")
+    // q81 = q38 with ONLY the document source swapped: raw corpus ->
+    // keep-first span dedup (q60's SQL, w=5) -> the same five stages run
+    // on the cleaned text. Derived, not duplicated, so the pipeline
+    // replay and the standalone operator replay cannot drift apart.
+    val docsSrc =
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),"""
+    require(q38.startsWith(docsSrc), "q38 oracle drifted from the q81 derivation anchor")
+    val spanDedupedSrc =
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         kf_toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM raw WHERE text IS NOT NULL),
+         kf_sh AS (
+           SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+           FROM kf_toks, unnest(range(len(t) - 4)) AS u(i)),
+         kf_win AS (SELECT h, min(doc_id * 100000 + i) AS wk FROM kf_sh GROUP BY h),
+         kf_struck AS (
+           SELECT s.doc_id, s.i FROM kf_sh s JOIN kf_win USING (h)
+           WHERE s.doc_id * 100000 + s.i <> kf_win.wk),
+         kf_cover AS (
+           SELECT DISTINCT doc_id, i + k AS pos
+           FROM kf_struck, unnest(range(5)) AS u(k)),
+         kf_tokpos AS (
+           SELECT doc_id, i AS pos, t[i+1] AS tok
+           FROM kf_toks, unnest(range(len(t))) AS u(i)),
+         kf_clean AS (
+           SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text
+           FROM kf_tokpos tp LEFT JOIN kf_cover c
+             ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+           WHERE c.pos IS NULL GROUP BY tp.doc_id),
+         docs AS (
+           SELECT r.doc_id, kc.text FROM raw r LEFT JOIN kf_clean kc USING (doc_id)),"""
     m + ("q67_curate_qreps" -> q38.replace(minIdKept, qrepsKept)) +
       // q70 IS q56 semantically (the bloom prefilter is output-invisible);
       // sharing the oracle string keeps that claim checked, not asserted
-      ("q70_curate_decon_bloom" -> m("q56_curate_decon"))
+      ("q70_curate_decon_bloom" -> m("q56_curate_decon")) +
+      ("q81_curate_spandedup" -> q38.replace(docsSrc, spanDedupedSrc))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -40,17 +40,33 @@ object Curate {
              decontaminateW: Int = 5, decontaminateMinOverlap: Long = 3L,
              dedupSpansW: Int = 0,
              qualityReps: Boolean = false,
-             deconViaBloom: Boolean = false): DataFrame = {
+             deconViaBloom: Boolean = false,
+             keepFirstSpansW: Int = 0): DataFrame = {
     // -1. optional WITHIN-doc repeated-span removal (dedupSpansW > 0) as
     // the very first rewrite: it is a pure map over each document alone
     // (zero shuffle), so it runs before any cross-document stage — a
     // repetition-stuffed page should be judged (quality gate, dedup
     // shingles, token counts) on its deduped content, and its struck spans
     // must not occupy pack budget
-    val docs0 =
+    val docsW =
       if (dedupSpansW <= 0) docs
       else docs.withColumn(textCol,
         graft.functions.SketchFunctions.dedupSpans(col(textCol), dedupSpansW))
+    // -0.5. optional CROSS-doc keep-first span dedup (keepFirstSpansW > 0)
+    // as the first cross-document rewrite: every repeated w-token span
+    // keeps only its globally first (id, pos) occurrence (Lee et al.
+    // exact-substring discipline), so the gates, dedup shingles, and
+    // token counts all judge the DEDUPED content. Exact full-document
+    // copies are subsumed: a later copy's every span is struck, its text
+    // excises to NULL, and it falls out at the gate — stage 2's exact
+    // dedup still catches copies SHORTER than w tokens. Near-dups keep
+    // their first copy intact; later copies shrink to their novel
+    // remainder and face the quality gate on that remainder alone.
+    val docs0 =
+      if (keepFirstSpansW <= 0) docsW
+      else WebCuration.keepFirstSpans(docsW, idCol, textCol,
+          w = keepFirstSpansW, reliableCheckpoint = reliableCheckpoint)
+        .select(col("id").as(idCol), col("clean_text").as(textCol))
     // 0. optional cross-doc boilerplate line removal BEFORE the gates:
     // template lines inflate quality scores and glue unrelated pages into
     // near-dup clusters, so when enabled the downstream pipeline (scores,

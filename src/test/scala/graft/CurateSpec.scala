@@ -201,4 +201,25 @@ class CurateSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.forall(_ < 100000L))
   }
+
+  test("keepFirstSpansW stage: exact copies die at the span stage, near-dups shrink to their remainder") {
+    import spark.implicits._
+    val body = (0 until 80).map(i => s"the w$i and v$i of u$i").mkString(" ")
+    val novel = (0 until 80).map(i => s"the x$i and y$i of z$i").mkString(" ")
+    // id 2 = exact copy of 1 (every span struck -> NULL -> gate drop);
+    // id 3 = 1's body plus a novel half (shrinks to the novel remainder)
+    val df = Seq((1L, body), (2L, body), (3L, body + " " + novel))
+      .toDF("doc_id", "text")
+    val out = Curate.curate(df, keepFirstSpansW = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](2).longValue).toMap
+    assert(out.keySet == Set(1L, 3L), s"survivors: ${out.keySet}")
+    // doc 3's token count reflects ONLY its novel remainder: the shared
+    // body (480 tokens) was struck before the gates counted anything
+    assert(out(1L) == 480L && out(3L) < 490L,
+      s"n_tokens: ${out(1L)}, ${out(3L)}")
+    // off by default: the same corpus keeps 3 at full length
+    val dflt = Curate.curate(df)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](2).longValue).toMap
+    assert(dflt(3L) == 960L, s"default n_tokens: $dflt")
+  }
 }
