@@ -14,8 +14,8 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--batch-id ID] [--password PW] [--include-raw] [--include-embedded] \
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
-  *   [--decontaminate-bloom] [--dedup-spans W] [--quality-reps] [--table-format parquet|orc] \
-  *   [--recrawl BASEDIR]
+  *   [--decontaminate-bloom] [--dedup-spans W] [--keep-first-spans W] \
+  *   [--quality-reps] [--table-format parquet|orc] [--recrawl BASEDIR]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -42,7 +42,7 @@ object Extract {
       curate: Boolean = false, partitions: Int = 0,
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
       decontaminate: String = null, deconBloom: Boolean = false,
-      dedupSpansW: Int = 0,
+      dedupSpansW: Int = 0, keepFirstSpansW: Int = 0,
       qualityReps: Boolean = false, tableFormat: String = "parquet",
       recrawl: String = null)
 
@@ -71,6 +71,10 @@ object Extract {
           val w = value("--dedup-spans").toInt
           require(w >= 0, s"--dedup-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(dedupSpansW = w); i += 2
+        case "--keep-first-spans" =>
+          val w = value("--keep-first-spans").toInt
+          require(w >= 0, s"--keep-first-spans width must be >= 0 (0 disables the stage), got $w")
+          a = a.copy(keepFirstSpansW = w); i += 2
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2
         case "--recrawl"          => a = a.copy(recrawl = value("--recrawl")); i += 2
@@ -91,6 +95,8 @@ object Extract {
       "--decontaminate-bloom selects the plan for --decontaminate: pass it too")
     require(a.dedupSpansW == 0 || a.curate,
       "--dedup-spans only affects the curated snapshot: pass --curate too")
+    require(a.keepFirstSpansW == 0 || a.curate,
+      "--keep-first-spans only affects the curated snapshot: pass --curate too")
     require(!a.qualityReps || a.curate,
       "--quality-reps only affects the curated snapshot: pass --curate too")
     a
@@ -313,6 +319,7 @@ object Extract {
         decontaminateAgainst = benchmark,
         deconViaBloom = a.deconBloom,
         dedupSpansW = a.dedupSpansW,
+        keepFirstSpansW = a.keepFirstSpansW,
         qualityReps = a.qualityReps)
       new ParquetManifestTable(s"${a.outRoot}/curated", a.tableFormat).commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round

@@ -339,4 +339,49 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs.committedBatches.size == 1, "null-ts changed url must not commit a new batch")
     assert(docs.read(spark).count() == 8)
   }
+
+  test("--keep-first-spans: the later near-copy is judged on its novel remainder") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_kfs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_kfs_out").toString
+    def article(url: String, words: Seq[String]): graft.sources.CrawlRow = {
+      val para = "<p>" + words.mkString(" ") + "</p>"
+      graft.sources.CrawlRow(url, new java.sql.Timestamp(0L),
+        s"<html><head><title>t</title></head><body><article>$para</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    val body = (1 to 80).flatMap(k => Seq("the", s"alpha$k", "and", "of", s"alphaitem$k"))
+    val tail = (1 to 30).flatMap(k => Seq("the", s"omega$k", "and", "of", s"omegaitem$k"))
+    val other = (1 to 80).flatMap(k => Seq("the", s"beta$k", "and", "of", s"betaitem$k"))
+    val urlA = "test://kfs/a/article.html"
+    val urlC = "test://kfs/c/article.html"
+    Seq(article(urlA, body), article("test://kfs/b/article.html", other),
+        article(urlC, body ++ tail)).toDS()
+      .toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "2", "--curate",
+      "--keep-first-spans", "5"))
+    val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated")
+      .readLatest(spark)
+    def urlId(u: String): Long =
+      Seq(u).toDF("u").select(xxhash64(col("u"))).head().getLong(0)
+    val toks = curated.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("n_tokens").longValue).toMap
+    // the shared body's spans keep only their globally-first occurrence —
+    // first = smaller doc_id (xxhash64(url)), so whichever of A/C hashes
+    // lower keeps its copy and the other doc is judged on what remains:
+    // for C that's the novel tail (survives, shrunk); for A that's
+    // nothing (every span struck -> NULL text -> gate drop)
+    val (winner, loser) = if (urlId(urlA) < urlId(urlC)) (urlId(urlA), urlId(urlC))
+                          else (urlId(urlC), urlId(urlA))
+    assert(toks.contains(winner), s"first occurrence must survive intact: $toks")
+    if (winner == urlId(urlA)) {
+      assert(toks.contains(loser) && toks(loser) < toks(winner),
+        s"the later near-copy must shrink to its tail: $toks")
+    } else {
+      assert(!toks.contains(loser), s"the fully-covered copy must drop: $toks")
+      assert(toks(winner) > 400L, s"the winning superset keeps body+tail: $toks")
+    }
+    assert(toks.contains(urlId("test://kfs/b/article.html")),
+      "the unrelated article must survive untouched")
+  }
 }
