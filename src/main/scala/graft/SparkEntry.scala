@@ -951,7 +951,40 @@ object SparkEntry {
     // oracle replays the whole composition
     "q81_curate_spandedup" -> ((s, dir) =>
       Curate.curate(docsWithDups(s, dir), keepFirstSpansW = 5)
-        .orderBy(col("detected_lang"), col("doc_id")))
+        .orderBy(col("detected_lang"), col("doc_id"))),
+
+    // near-dup-closure-consistent dataset split: every document gets the
+    // split its whole near-dup CLUSTER draws — the per-document q71
+    // freeze is leakage-UNSAFE (near-identical pages can straddle
+    // train/test); the cluster min-id label is the draw key, so the
+    // assignment is map-local on the CC output and singletons degrade to
+    // exactly q71's arithmetic on their own id
+    "q82_cluster_split" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.9).select(col("id_a"), col("id_b"))
+      TextAnalysis.clusterConsistentSplit(pairs,
+          docs.select(col("doc_id").as("id")),
+          splits = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // integer-exact fixed-iteration PageRank over a deterministic link
+    // graph (3 out-edges per doc, endpoints mod corpus size) — the
+    // crawl-prioritization signal; 3 iterations, damping 0.85, total
+    // mass 1e12, every division non-negative so the oracle's unrolled
+    // replay is bit-exact
+    "q83_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 17 + 1) % n).as("dst"))
+      LinkGraph.pageRank(edges, docs.select(col("doc_id").as("id")), iters = 3)
+        .select(col("id").as("doc_id"), col("rank_mass"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -1010,7 +1043,58 @@ object SparkEntry {
       // q70 IS q56 semantically (the bloom prefilter is output-invisible);
       // sharing the oracle string keeps that claim checked, not asserted
       ("q70_curate_decon_bloom" -> m("q56_curate_decon")) +
-      ("q81_curate_spandedup" -> q38.replace(docsSrc, spanDedupedSrc))
+      ("q81_curate_spandedup" -> q38.replace(docsSrc, spanDedupedSrc)) +
+      // q82 = q36's clustering with ONLY the final labeling swapped: the
+      // same walk-closure min-label per doc, then q71's split arithmetic
+      // applied to the CLUSTER label instead of the doc id. Derived from
+      // q36 so the clustering replay cannot drift from the dedup oracle.
+      ("q82_cluster_split" -> {
+        val q36 = m("q36_dedup_clusters")
+        val ccTail =
+          """SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+           MIN(r) = id AS is_kept
+         FROM walk GROUP BY id ORDER BY doc_id"""
+        require(q36.endsWith(ccTail), "q36 oracle drifted from the q82 derivation anchor")
+        q36.replace(ccTail,
+          """, cc AS (SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+                      FROM walk GROUP BY id)
+         SELECT id AS doc_id, cluster_id,
+           CASE WHEN h < (800000 * 1099511627776) // 1000000 THEN 'train'
+                WHEN h < (900000 * 1099511627776) // 1000000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT id, cluster_id,
+                 CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 10) AS BIGINT) AS h
+               FROM cc) ORDER BY doc_id""")
+      })
+  }
+
+  /** q83's DuckDB replay: the same integer PageRank unrolled — shared
+    * per-iteration SQL so the three rounds cannot drift from each other.
+    * Every division has non-negative operands (floor == truncate in every
+    * engine/version) and every aggregate output is CAST AS BIGINT (DuckDB
+    * sum() returns HUGEINT, which fetchdf renders float). */
+  private def pagerankOracleSql: String = {
+    val base = "(150000 * (1000000000000 // (SELECT c FROM n))) // 1000000"
+    def iter(i: Int, prev: String) =
+      s"""c$i AS (SELECT e.dst, CAST(sum(p.r // e.od) AS BIGINT) AS s
+           FROM ed e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
+         it$i AS (SELECT d.doc_id AS id,
+             $base + (coalesce(c$i.s, 0) * 850000) // 1000000 AS r
+           FROM documents d LEFT JOIN c$i ON c$i.dst = d.doc_id)"""
+    s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         edges AS (
+           SELECT doc_id AS src,
+             (doc_id * 31 + k * 17 + 1) % (SELECT c FROM n) AS dst
+           FROM documents, unnest([0, 1, 2]) AS u(k)),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+         ed AS (SELECT e.src, e.dst, g.od FROM edges e JOIN deg g USING (src)),
+         r0 AS (SELECT doc_id AS id,
+                  1000000000000 // (SELECT c FROM n) AS r FROM documents),
+         ${iter(1, "r0")},
+         ${iter(2, "it1")},
+         ${iter(3, "it2")}
+         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
+         FROM it3 ORDER BY doc_id"""
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2037,6 +2121,8 @@ object SparkEntry {
                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) AS h
                FROM documents)
          ORDER BY doc_id""",
+
+    "q83_pagerank" -> pagerankOracleSql,
 
     // identical brute-force set overlap as q52's oracle — the bloom
     // prefilter + exact confirm must be output-identical to the exact

@@ -216,6 +216,39 @@ object TextAnalysis {
     df.withColumn(splitCol, chain)
   }
 
+  /** CLUSTER-consistent train/val/test split — [[hashSplit]]'s freeze
+    * property extended to near-duplicate closure: every document is
+    * assigned the split its whole near-dup CLUSTER draws, so two
+    * near-identical pages can never straddle train and test (the
+    * contamination a per-document split silently allows: the model
+    * "memorizes" the train copy and aces its test twin). `pairs`/`ids`
+    * follow the [[Dedup.connectedComponents]] contract ((id_a, id_b)
+    * candidate pairs + the full id universe); the draw key is the
+    * cluster's min-id label, so membership growth within a cluster never
+    * moves its split, and singleton documents degrade to exactly
+    * [[hashSplit]] on their own id.
+    *
+    * Scale shape: the clustering is the existing CC machinery (compact
+    * long frames, per-round checkpoints, `starsCC` for adversarial
+    * diameters); the split assignment itself is MAP-LOCAL on the CC
+    * output (the cluster label is already a column of every member row —
+    * no representative join-back). Output: (id, cluster_id, split). */
+  def clusterConsistentSplit(pairs: DataFrame, ids: DataFrame,
+                             splits: Seq[(String, Long)],
+                             starsCC: Boolean = false,
+                             reliableCheckpoint: Boolean = false): DataFrame = {
+    val cc =
+      if (starsCC) Dedup.connectedComponentsStars(pairs, ids,
+        reliableCheckpoint = reliableCheckpoint)
+      else Dedup.connectedComponents(pairs, ids,
+        reliableCheckpoint = reliableCheckpoint)
+    hashSplit(
+        cc.select(col("id"), col("cluster_id"),
+          col("cluster_id").cast("string").as("__ck")),
+        "__ck", splits)
+      .drop("__ck")
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: row kept iff its 48-bit
     * md5 hash is below weight * 2^48 — inclusion probability equals the
     * row's weight (in integer 1e4 scale, e.g. `qualityScoreI4`), with no

@@ -85,6 +85,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.getMessage.contains("already has"))
   }
 
+  test("clusterConsistentSplit: near-dup closures never straddle splits; singletons degrade to hashSplit") {
+    import spark.implicits._
+    val splits = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))
+    val ids = (0L until 200L).toDF("id")
+    // chains {1,2,3} and {40,41}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (40L, 41L)).toDF("id_a", "id_b")
+    val out = TextAnalysis.clusterConsistentSplit(pairs, ids, splits)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byId.size == 200 && byId.values.forall(_._2 != null))
+    // every cluster member shares the cluster's split (the leakage-free property)
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, s"${byId(1L)} ${byId(2L)} ${byId(3L)}")
+    assert(byId(40L) == byId(41L))
+    assert(byId(1L)._1 == 1L && byId(40L)._1 == 40L)
+    // singletons get exactly hashSplit's per-id assignment (cluster label = own id)
+    val solo = TextAnalysis.hashSplit(
+        ids.select(col("id"), col("id").cast("string").as("k")), "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val singles = (0L until 200L).toSet -- Set(1L, 2L, 3L, 40L, 41L)
+    assert(singles.forall(i => byId(i)._2 == solo(i)))
+    // the stars variant labels identically
+    val stars = TextAnalysis.clusterConsistentSplit(pairs, ids, splits, starsCC = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(stars == byId)
+  }
+
   test("weightedSample: kept iff h48 under the integer threshold; rate tracks weight") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.weightedSample(docs, "text",
