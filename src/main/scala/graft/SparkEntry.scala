@@ -984,7 +984,35 @@ object SparkEntry {
       LinkGraph.pageRank(edges, docs.select(col("doc_id").as("id")), iters = 3)
         .select(col("id").as("doc_id"), col("rank_mass"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // domain-level authority: the same page edges aggregated to the
+    // domain graph (the ~1e7-node frame PageRank actually runs on at
+    // 100 TB, never the ~1e11 page graph), weighted by link multiplicity,
+    // rank broadcast back per page as the crawl-prioritization weight
+    "q84_domain_authority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 17 + 1) % n).as("dst"))
+      val docDomains = docs.select(col("doc_id").as("id"),
+        concat(col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
+          lit(".example.com")).as("domain"))
+      LinkGraph.domainAuthority(docDomains, edges, iters = 3)
+        .select(col("id").as("doc_id"), col("domain"), col("domain_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // order-2 LM quality filter: every TRANSITION scored in whole
+    // conditional bits under the corpus's own bigram model — scrambled
+    // word soup keeps plausible unigrams (q64 misses it) but pays full
+    // price on every transition here
+    "q85_bigram_surprisal" -> ((s, dir) =>
+      LanguageModel.selfBigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("surprisal_bits"), col("mean_bits_x100"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1068,34 +1096,75 @@ object SparkEntry {
       })
   }
 
-  /** q83's DuckDB replay: the same integer PageRank unrolled — shared
-    * per-iteration SQL so the three rounds cannot drift from each other.
-    * Every division has non-negative operands (floor == truncate in every
-    * engine/version) and every aggregate output is CAST AS BIGINT (DuckDB
-    * sum() returns HUGEINT, which fetchdf renders float). */
-  private def pagerankOracleSql: String = {
-    val base = "(150000 * (1000000000000 // (SELECT c FROM n))) // 1000000"
+  /** The q83/q84 DuckDB replay core: the integer PageRank unrolled from a
+    * SHARED per-iteration SQL template so the rounds — and the two queries
+    * — cannot drift from each other or from the operator's arithmetic.
+    * `prologue` must define CTEs `nodes(id)`, `nNodes(c)` and weighted
+    * `ed(src, dst, od, w)`; `tail` consumes `it3`. Every division has
+    * non-negative operands (floor == truncate in every engine/version)
+    * and every aggregate output is CAST AS BIGINT (DuckDB sum() returns
+    * HUGEINT, which fetchdf renders float). */
+  private def pagerankUnrolledSql(prologue: String, tail: String): String = {
+    val base = "(150000 * (1000000000000 // (SELECT c FROM nNodes))) // 1000000"
     def iter(i: Int, prev: String) =
-      s"""c$i AS (SELECT e.dst, CAST(sum(p.r // e.od) AS BIGINT) AS s
+      s"""c$i AS (SELECT e.dst, CAST(sum((p.r * e.w) // e.od) AS BIGINT) AS s
            FROM ed e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
-         it$i AS (SELECT d.doc_id AS id,
+         it$i AS (SELECT nd.id AS id,
              $base + (coalesce(c$i.s, 0) * 850000) // 1000000 AS r
-           FROM documents d LEFT JOIN c$i ON c$i.dst = d.doc_id)"""
-    s"""WITH n AS (SELECT count(*) AS c FROM documents),
-         edges AS (
-           SELECT doc_id AS src,
-             (doc_id * 31 + k * 17 + 1) % (SELECT c FROM n) AS dst
-           FROM documents, unnest([0, 1, 2]) AS u(k)),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
-         ed AS (SELECT e.src, e.dst, g.od FROM edges e JOIN deg g USING (src)),
-         r0 AS (SELECT doc_id AS id,
-                  1000000000000 // (SELECT c FROM n) AS r FROM documents),
+           FROM nodes nd LEFT JOIN c$i ON c$i.dst = nd.id)"""
+    s"""WITH $prologue,
+         r0 AS (SELECT id,
+                  1000000000000 // (SELECT c FROM nNodes) AS r FROM nodes),
          ${iter(1, "r0")},
          ${iter(2, "it1")},
          ${iter(3, "it2")}
-         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
-         FROM it3 ORDER BY doc_id"""
+         $tail"""
   }
+
+  /** The deterministic page-level link graph both q83 and q84 synthesize:
+    * 3 out-edges per doc, endpoints mod corpus size. */
+  private val docEdgesSql: String =
+    """nDocs AS (SELECT count(*) AS c FROM documents),
+       edges AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + k * 17 + 1) % (SELECT c FROM nDocs) AS dst
+         FROM documents, unnest([0, 1, 2]) AS u(k))"""
+
+  private def pagerankOracleSql: String = pagerankUnrolledSql(
+    s"""$docEdgesSql,
+       nodes AS (SELECT doc_id AS id FROM documents),
+       nNodes AS (SELECT c FROM nDocs),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+       ed AS (SELECT e.src, e.dst, g.od, CAST(1 AS BIGINT) AS w
+              FROM edges e JOIN deg g USING (src))""",
+    """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
+       FROM it3 ORDER BY doc_id""")
+
+  /** q84's replay: the page edges aggregated to the DOMAIN graph (node id
+    * = the domain's min page id, edge weight = link multiplicity), the
+    * same unrolled PageRank over it, rank joined back per page. */
+  private def domainAuthorityOracleSql: String = pagerankUnrolledSql(
+    s"""$docEdgesSql,
+       dd AS (SELECT doc_id,
+                source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+                  AS domain
+              FROM documents),
+       nid AS (SELECT domain, CAST(min(doc_id) AS BIGINT) AS nid
+               FROM dd GROUP BY domain),
+       dn AS (SELECT dd.doc_id, dd.domain, n.nid
+              FROM dd JOIN nid n USING (domain)),
+       wedges AS (SELECT a.nid AS src, b.nid AS dst,
+                    CAST(count(*) AS BIGINT) AS w
+                  FROM edges e
+                  JOIN dn a ON a.doc_id = e.src
+                  JOIN dn b ON b.doc_id = e.dst
+                  GROUP BY a.nid, b.nid),
+       nodes AS (SELECT nid AS id FROM nid),
+       nNodes AS (SELECT count(*) AS c FROM nodes),
+       deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM wedges GROUP BY src),
+       ed AS (SELECT e.src, e.dst, g.od, e.w FROM wedges e JOIN deg g USING (src))""",
+    """SELECT dn.doc_id, dn.domain, CAST(it3.r AS BIGINT) AS domain_rank
+       FROM dn JOIN it3 ON it3.id = dn.nid ORDER BY doc_id""")
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -2123,6 +2192,43 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q83_pagerank" -> pagerankOracleSql,
+
+    "q84_domain_authority" -> domainAuthorityOracleSql,
+
+    // the bigram replay: raw-adjacent non-empty token pairs, conditional
+    // whole-bit surprisal bits(a->b) = floorlog2(cnt(a *)) -
+    // floorlog2(cnt(a b)) via the length(bin(n))-1 integer identity (the
+    // q64 discipline at order 2); self-scored so no OOV branch exists
+    "q85_bigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL
+         ), bi AS (
+           SELECT doc_id, t[i+1] AS a, t[i+2] AS b
+           FROM toks, unnest(range(len(t) - 1)) AS u(i)
+           WHERE t[i+1] <> '' AND t[i+2] <> ''
+         ), cnt AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY a, b
+         ), pre AS (
+           SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cnt GROUP BY a
+         ), m AS (
+           SELECT cnt.a, cnt.b,
+             CAST((length(bin(pre.ca)) - 1) - (length(bin(cnt.c)) - 1)
+               AS BIGINT) AS bits
+           FROM cnt JOIN pre USING (a)
+         ), sc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(m.bits) AS BIGINT) AS surprisal_bits
+           FROM bi JOIN m USING (a, b) GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sc.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+           CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                THEN sc.surprisal_bits * 100 // sc.n_bigrams
+                ELSE 0 END AS BIGINT) AS mean_bits_x100
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id""",
 
     // identical brute-force set overlap as q52's oracle — the bloom
     // prefilter + exact confirm must be output-identical to the exact

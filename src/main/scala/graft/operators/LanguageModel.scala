@@ -98,6 +98,81 @@ object LanguageModel {
   def selfSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
     surprisalStats(df, idCol, textCol, unigramModel(df, idCol, textCol))
 
+  /** Train the order-2 model: one row per distinct token BIGRAM with its
+    * corpus count and CONDITIONAL surprisal in whole bits,
+    * `bits(a→b) = floor(log2(cnt(a·*))) - floor(log2(cnt(a·b)))` — how
+    * surprising the continuation is GIVEN the prefix (the upgrade over
+    * [[unigramModel]]: "of the" is cheap even though "the" alone says
+    * nothing about fluency; scrambled-word soup keeps plausible unigrams
+    * but pays full price on every transition).
+    *
+    * Bigrams are consecutive RAW split positions with both tokens
+    * non-empty (a run of separators breaks the chain), extracted MAP-ONLY
+    * via the native `token_chunks(text, 2, 1)` — a size-2 chunk carries
+    * exactly one space, so the two tokens split exactly; the tail chunk
+    * (no space) drops. Output: (a, b, cnt, bits) with a/b = md5(token) —
+    * compact keys only, the token strings never leave the map side.
+    *
+    * Scale shape: one map-side-combined groupBy on (a, b) for counts, a
+    * prefix re-aggregation on a (bigram-vocab-sized input, not corpus),
+    * and the prefix join runs vocab-to-vocab. A hot bigram is one model
+    * row; skew lands only on the scoring join, where AQE's skew split
+    * applies (same property [[surprisalStats]] ships with). */
+  def bigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = bigramOccurrences(df, idCol, textCol)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    val prefix = counts.groupBy(col("a")).agg(sum(col("cnt")).as("pcnt"))
+    counts.join(prefix, Seq("a"))
+      .select(col("a"), col("b"), col("cnt"),
+        (floorLog2(col("pcnt")) - floorLog2(col("cnt"))).as("bits"))
+  }
+
+  /** (id, a, b) per bigram OCCURRENCE, md5 keys — the shared map-only
+    * extraction behind [[bigramModel]] and [[bigramSurprisal]]. */
+  private def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.SketchFunctions.tokenChunks(col(textCol), 2, 1)).as("t"))
+      .select(col("id"),
+        substring_index(col("t.chunk"), " ", 1).as("ta"),
+        substring_index(col("t.chunk"), " ", -1).as("tb"),
+        instr(col("t.chunk"), " ").as("sp"))
+      .where(col("sp") > 0 && col("ta") =!= "" && col("tb") =!= "")
+      .select(col("id"), md5(col("ta")).as("a"), md5(col("tb")).as("b"))
+
+  /** Score each document's TRANSITIONS against a trained bigram model —
+    * the order-2 quality filter. Bigrams absent from the model are charged
+    * `max(bits) + 1` (one bit beyond the rarest in-model transition, the
+    * [[surprisalStats]] smoothing convention). Output: (id, n_bigrams,
+    * surprisal_bits, mean_bits_x100); documents with fewer than two
+    * non-empty tokens (or null text) report (0, 0, 0). Ids must be unique
+    * (checked anchor). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+      .groupBy(col("id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+    val oovRow = model.agg((max(col("bits")) + 1L).as("oov_bits"))
+    val scored = occ
+      .join(model.select(col("a"), col("b"), col("bits")), Seq("a", "b"), "left")
+      .crossJoin(broadcast(oovRow))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * coalesce(col("bits"), col("oov_bits"))).as("surprisal_bits"))
+    Dedup.checkedIdAnchor(df, idCol, "LanguageModel.bigramSurprisal")
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_bigrams") > 0,
+          expr("surprisal_bits * 100 div n_bigrams")).otherwise(lit(0L)).as("mean_bits_x100"))
+  }
+
+  /** Self-scored bigram convenience (train on `df`, score `df`; no OOV
+    * possible) — the [[selfSurprisal]] caveat applies: the tokenize pass
+    * plans twice, so on a large corpus train once and persist the model. */
+  def selfBigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramSurprisal(df, idCol, textCol, bigramModel(df, idCol, textCol))
+
   /** Token-DISTRIBUTION drift between two corpora — the monitoring signal
     * a recrawl pipeline watches between snapshots (did the crawl's content
     * mix shift? did a template token flood in? did a language drain out?).

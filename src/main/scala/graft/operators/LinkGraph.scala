@@ -33,7 +33,14 @@ object LinkGraph {
     * endpoints raise loudly; ids must be unique), `iters` is fixed —
     * centrality ranking stabilizes in a few rounds and a FIXED count is
     * what makes the result a frozen, replayable dataset artifact rather
-    * than a convergence race.
+    * than a convergence race. `weightCol` names an optional positive
+    * integer edge-weight column (a DOMAIN-level graph aggregates doc-level
+    * links into multiplicity weights — the 100 TB shape: ~1e7 domain nodes
+    * instead of ~1e11 page nodes); each edge then carries
+    * `(rank * w) div out_weight`. Weights must satisfy
+    * `w <= Long.MaxValue / totalMass` (checked per row, loudly) so the
+    * product can never overflow; unweighted is the `w = 1` special case of
+    * the same single code path.
     *
     * Scale shape: out-degree is one map-side-combined groupBy; the
     * per-iteration work is an (src, dst, od)-by-(id, rank) long-frame
@@ -48,7 +55,8 @@ object LinkGraph {
   def pageRank(edges: DataFrame, ids: DataFrame, iters: Int,
                dampingPpm: Long = 850000L,
                totalMass: Long = 1000000000000L,
-               reliableCheckpoint: Boolean = false): DataFrame = {
+               reliableCheckpoint: Boolean = false,
+               weightCol: Option[String] = None): DataFrame = {
     val op = "LinkGraph.pageRank"
     require(iters >= 1 && iters <= 1000, s"$op: iters must be in [1, 1000], got $iters")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
@@ -61,14 +69,21 @@ object LinkGraph {
     require(n > 0L, s"$op: needs at least one node")
     val init = totalMass / n
     val base = (1000000L - dampingPpm) * init / 1000000L
+    val maxW = Long.MaxValue / totalMass
+    val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        wExpr.as("w"))
       .where(when(col("src").isNotNull && col("dst").isNotNull, lit(true))
         .otherwise(raise_error(concat(
           lit(s"$op: edge endpoints must be non-null, got src="),
           coalesce(col("src").cast("string"), lit("null")), lit(" dst="),
           coalesce(col("dst").cast("string"), lit("null")))).cast("boolean")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .where(when(col("w").isNotNull && col("w") >= 1L && col("w") <= maxW, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$op: edge weights must be in [1, $maxW], got "),
+          coalesce(col("w").cast("string"), lit("null")))).cast("boolean")))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("od"))
     val edgesOd = e.join(deg, Seq("src")).persist()
     try {
       edgesOd.count() // materialize once; reused every iteration
@@ -78,7 +93,7 @@ object LinkGraph {
       while (i < iters) {
         val contrib = edgesOd
           .join(r.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst"), expr("r div od").as("c"))
+          .select(col("dst"), expr("(r * w) div od").as("c"))
         val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
         r = Dedup.checkpointDf(
           anchor.join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
@@ -90,5 +105,60 @@ object LinkGraph {
       }
       r.select(col("id"), col("r").as("rank_mass"))
     } finally edgesOd.unpersist()
+  }
+
+  /** DOMAIN-level authority from page-level links, joined back per page —
+    * the shape that actually runs at 100 TB: the page graph (~1e11 nodes)
+    * never feeds PageRank; it is aggregated to the domain graph (~1e7
+    * nodes, fits comfortably) and each page inherits its domain's rank as
+    * a crawl-prioritization / mixture weight.
+    *
+    * `docDomains` is (id, domain) with unique ids (null domains are
+    * legitimate — unparseable urls — and form their own node); `edges` is
+    * (src, dst) page-level links whose endpoints must all appear in
+    * `docDomains` (missing endpoints raise loudly rather than silently
+    * retiring their mass). The domain node id is the domain's MIN page id
+    * — deterministic and collision-free with no global counter.
+    *
+    * Scale shape: the only doc-cardinality exchanges are the two
+    * endpoint→node-id translation joins, compact longs end to end; the
+    * multiplicity aggregation, PageRank itself, and the rank join-back all
+    * run on domain-cardinality frames (the node-id and rank frames
+    * broadcast). Output: (id, domain, domain_rank). */
+  def domainAuthority(docDomains: DataFrame, edges: DataFrame, iters: Int,
+                      dampingPpm: Long = 850000L,
+                      totalMass: Long = 1000000000000L,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
+    val op = "LinkGraph.domainAuthority"
+    val dd = docDomains.select(col("id").cast("long").as("id"), col("domain"))
+    val nid = dd.groupBy(col("domain")).agg(min(col("id")).as("nid"))
+    // the duplicate-id check rides the anchor join, so BOTH the edge
+    // translation and the final per-page output raise on copies
+    val docNode = Dedup.checkedIdAnchor(dd, "id", op)
+      .join(dd.alias("d")
+        .join(broadcast(nid.alias("n")), col("d.domain") <=> col("n.domain"))
+        .select(col("d.id").as("id"), col("d.domain").as("domain"), col("nid")),
+        Seq("id"))
+    val idNode = docNode.select(col("id"), col("nid"))
+    // translate both endpoints in ONE pass over the edge list
+    val de = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .join(idNode.withColumnRenamed("id", "src").withColumnRenamed("nid", "snid"),
+        Seq("src"), "left")
+      .join(idNode.withColumnRenamed("id", "dst").withColumnRenamed("nid", "dnid"),
+        Seq("dst"), "left")
+      .select(
+        when(col("snid").isNotNull, col("snid")).otherwise(raise_error(concat(
+          lit(s"$op: edge src endpoint not in docDomains: "),
+          coalesce(col("src").cast("string"), lit("null")))).cast("long")).as("src"),
+        when(col("dnid").isNotNull, col("dnid")).otherwise(raise_error(concat(
+          lit(s"$op: edge dst endpoint not in docDomains: "),
+          coalesce(col("dst").cast("string"), lit("null")))).cast("long")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val ranks = pageRank(de, nid.select(col("nid").as("id")), iters,
+      dampingPpm, totalMass, reliableCheckpoint, weightCol = Some("w"))
+    docNode
+      .join(broadcast(ranks.withColumnRenamed("id", "nid")), Seq("nid"))
+      .select(col("id"), col("domain"), col("rank_mass").as("domain_rank"))
   }
 }

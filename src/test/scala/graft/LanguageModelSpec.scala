@@ -76,6 +76,57 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bigram model + self-scoring: hand-computed conditional bits; separator runs break the chain") {
+    // corpus bigrams: doc1 "a b a b c" -> ab ba ab bc; doc2 "a a" -> aa
+    // counts: ab 2, ba 1, bc 1, aa 1; prefixes: a -> 3, b -> 2
+    // bits: ab = fl2(3)-fl2(2) = 0, ba = fl2(2)-fl2(1) = 1, bc = 1,
+    //       aa = fl2(3)-fl2(1) = 1
+    val docs = Seq((1L, "a b a b c"), (2L, "a a"), (3L, "x"),
+      (4L, null.asInstanceOf[String]), (5L, "a  b")).toDF("id", "text")
+    val m = LanguageModel.bigramModel(docs, "id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(m.size == 4)
+    assert(m((h("a"), h("b"))) == ((2L, 0L)))
+    assert(m((h("b"), h("a"))) == ((1L, 1L)))
+    assert(m((h("b"), h("c"))) == ((1L, 1L)))
+    assert(m((h("a"), h("a"))) == ((1L, 1L)))
+    val got = LanguageModel.selfBigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc1: ab(0)*2 + ba(1) + bc(1) = 2 bits over 4; doc2: aa(1) over 1
+    // doc3 one token, doc4 null, doc5 "a  b" (double space breaks
+    // adjacency) -> all (0, 0, 0)
+    assert(got == Map(
+      1L -> ((4L, 2L, 50L)), 2L -> ((1L, 1L, 100L)),
+      3L -> ((0L, 0L, 0L)), 4L -> ((0L, 0L, 0L)), 5L -> ((0L, 0L, 0L))))
+  }
+
+  test("bigramSurprisal: OOV transitions charge max(bits) + 1; duplicate ids raise") {
+    val model = LanguageModel.bigramModel(
+      Seq((1L, "a b a b c"), (2L, "a a")).toDF("id", "text"), "id", "text")
+    val scored = LanguageModel.bigramSurprisal(
+        Seq((10L, "q q a b"), (11L, "")).toDF("id", "text"), "id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // oov = max bits + 1 = 2; doc 10: qq(2) + qa(2) + ab(0) = 4 over 3
+    assert(scored(10L) == ((3L, 4L, 133L)))
+    assert(scored(11L) == ((0L, 0L, 0L)))
+    val dup = Seq((1L, "a b"), (1L, "c d")).toDF("id", "text")
+    val ex = intercept[Exception] {
+      LanguageModel.bigramSurprisal(dup, "id", "text", model).collect()
+    }
+    assert(ex.getMessage.contains("LanguageModel.bigramSurprisal"))
+  }
+
+  test("bigram scoring is deterministic across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = LanguageModel.selfBigramSurprisal(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = LanguageModel.selfBigramSurprisal(docs.repartition(17), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(3)).toSet.size > 1, "scores must separate documents")
+  }
+
   test("tokenDrift: movers only, OOV charges on both sides, unmoved tokens drop out") {
     import spark.implicits._
     // A: 8x "aa", 4x "bb", 2x "cc", 2x "dd"  (total 16, log_tot = 4)

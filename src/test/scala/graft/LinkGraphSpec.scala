@@ -47,6 +47,75 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("pageRank weighted: hand-computed one-iteration values; weight guards") {
+    import spark.implicits._
+    // 0 -> 1 (w 3), 0 -> 0 (w 1), 1 -> 0 (w 1); mass 400, damping 0.5:
+    // init 200, base 100; od(0) = 4, od(1) = 1
+    // iter1 contribs: 0 sends (200*3)/4 = 150 to 1, (200*1)/4 = 50 to 0;
+    //   1 sends 200 to 0 -> inbound (0: 250, 1: 150)
+    //   r = (0: 100 + 125 = 225, 1: 100 + 75 = 175)
+    val edges = Seq((0L, 1L, 3L), (0L, 0L, 1L), (1L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val ids = Seq(0L, 1L).toDF("id")
+    val out = LinkGraph.pageRank(edges, ids, iters = 1, dampingPpm = 500000L,
+        totalMass = 400L, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 225L, 1L -> 175L), s"got $out")
+    val zeroW = intercept[Exception] {
+      LinkGraph.pageRank(Seq((0L, 1L, 0L)).toDF("src", "dst", "w"), ids,
+        iters = 1, weightCol = Some("w")).collect()
+    }
+    assert(zeroW.getMessage.contains("weights"), zeroW.getMessage)
+    val bigW = intercept[Exception] {
+      LinkGraph.pageRank(Seq((0L, 1L, Long.MaxValue / 2)).toDF("src", "dst", "w"),
+        ids, iters = 1, weightCol = Some("w")).collect()
+    }
+    assert(bigW.getMessage.contains("weights"), bigW.getMessage)
+  }
+
+  test("domainAuthority: per-domain rank equals pageRank on the aggregated weighted graph; null domain is a node") {
+    import spark.implicits._
+    // domains: A {0,1}, B {2,3}, C {4,5}, null {6}
+    val docDomains = Seq(
+      (0L, Some("a.com")), (1L, Some("a.com")),
+      (2L, Some("b.com")), (3L, Some("b.com")),
+      (4L, Some("c.com")), (5L, Some("c.com")),
+      (6L, None: Option[String])).toDF("id", "domain")
+    // page edges -> domain edges: A->B w2, B->C w1, B->A w1, C->C w1, null->A w1
+    val edges = Seq((0L, 2L), (1L, 3L), (2L, 4L), (3L, 0L), (5L, 5L), (6L, 1L))
+      .toDF("src", "dst")
+    val out = LinkGraph.domainAuthority(docDomains, edges, iters = 3)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.length == 7)
+    val byDom = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDom.values.forall(_.size == 1), s"domain members must share rank: $byDom")
+    // parity: the hand-aggregated weighted domain graph through pageRank
+    // (node ids = min member id: A=0, B=2, C=4, null=6)
+    val domEdges = Seq((0L, 2L, 2L), (2L, 4L, 1L), (2L, 0L, 1L), (4L, 4L, 1L),
+      (6L, 0L, 1L)).toDF("src", "dst", "w")
+    val expected = LinkGraph.pageRank(domEdges, Seq(0L, 2L, 4L, 6L).toDF("id"),
+        iters = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDom(Some("a.com")).head == expected(0L))
+    assert(byDom(Some("b.com")).head == expected(2L))
+    assert(byDom(Some("c.com")).head == expected(4L))
+    assert(byDom(None).head == expected(6L))
+  }
+
+  test("domainAuthority guards: duplicate ids and unknown edge endpoints raise") {
+    import spark.implicits._
+    val dd = Seq((0L, "a"), (1L, "a")).toDF("id", "domain")
+    val dup = intercept[Exception] {
+      LinkGraph.domainAuthority(Seq((0L, "a"), (0L, "a"), (1L, "b")).toDF("id", "domain"),
+        Seq((0L, 1L)).toDF("src", "dst"), iters = 1).collect()
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    val unknown = intercept[Exception] {
+      LinkGraph.domainAuthority(dd, Seq((0L, 9L)).toDF("src", "dst"), iters = 1).collect()
+    }
+    assert(unknown.getMessage.contains("endpoint"), unknown.getMessage)
+  }
+
   test("pageRank guards: null endpoints, duplicate ids, parameter ranges") {
     import spark.implicits._
     val ids = Seq(0L, 1L).toDF("id")
