@@ -475,4 +475,39 @@ class PlanSpec extends AnyFunSuite {
         s"shuffle carries ${s.output.map(_.name).mkString(",")}")
     }
   }
+
+  test("domain authority: rank join-back broadcasts; domain strings ride only domain-keyed aggregate exchanges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 50)
+    val docDomains = docs.select(col("doc_id").as("id"),
+      concat(col("source"), lit(".example.com")).as("domain"))
+    val edges = docs.select(col("doc_id").as("src"), (col("doc_id") % 50).as("dst"))
+    val out = graft.operators.LinkGraph.domainAuthority(docDomains, edges, iters = 1)
+    // the per-page rank attachment must be a broadcast (domain-sized rank
+    // frame), never a doc-cardinality shuffle join
+    assert(plan(out).contains("BroadcastHashJoin"), plan(out).take(2000))
+    val shuffles = collectShuffles(
+      graft.operators.LinkGraph.domainAuthority(docDomains, edges, iters = 1))
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.contains("text"), s"shuffle carries ${names.mkString(",")}")
+      if (names.contains("domain"))
+        assert(s.outputPartitioning.toString.contains("domain#"),
+          s"domain string rides a non-domain-keyed exchange: ${s.outputPartitioning}")
+    }
+  }
+
+  test("bigram LM: extraction is map-only; model and scoring exchanges carry md5 keys, never text or raw tokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.operators.LanguageModel.bigramModel(docs, "doc_id", "text")
+    val out = graft.operators.LanguageModel.bigramSurprisal(docs, "doc_id", "text", model)
+    val shuffles = collectShuffles(out)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n == "text" || n == "ta" || n == "tb" ||
+        n == "t" || n == "chunk" || n == "c"),
+        s"shuffle carries raw token columns: ${names.mkString(",")}")
+    }
+  }
 }
