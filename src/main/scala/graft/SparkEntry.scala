@@ -976,12 +976,8 @@ object SparkEntry {
     // mass 1e12, every division non-negative so the oracle's unrolled
     // replay is bit-exact
     "q83_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
-        .select(col("src"), ((col("src") * 31 + col("k") * 17 + 1) % n).as("dst"))
-      LinkGraph.pageRank(edges, docs.select(col("doc_id").as("id")), iters = 3)
+      val (edges, docDomains) = docLinkGraph(s, dir)
+      LinkGraph.pageRank(edges, docDomains.select(col("id")), iters = 3)
         .select(col("id").as("doc_id"), col("rank_mass"))
         .orderBy(col("doc_id"))
     }),
@@ -991,16 +987,25 @@ object SparkEntry {
     // 100 TB, never the ~1e11 page graph), weighted by link multiplicity,
     // rank broadcast back per page as the crawl-prioritization weight
     "q84_domain_authority" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
-        .select(col("src"), ((col("src") * 31 + col("k") * 17 + 1) % n).as("dst"))
-      val docDomains = docs.select(col("doc_id").as("id"),
-        concat(col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
-          lit(".example.com")).as("domain"))
+      val (edges, docDomains) = docLinkGraph(s, dir)
       LinkGraph.domainAuthority(docDomains, edges, iters = 3)
         .select(col("id").as("doc_id"), col("domain"), col("domain_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // authority-weighted mixture sampling: each page kept with probability
+    // proportional to its DOMAIN's rank (w_i4 = rank * 1e4 div max_rank,
+    // frozen md5 draw) — "sample training data proportional to source
+    // authority", the step between q84's signal and the final mixture
+    "q86_authority_sample" -> ((s, dir) => {
+      val (edges, docDomains) = docLinkGraph(s, dir)
+      val auth = LinkGraph.domainAuthority(docDomains, edges, iters = 3)
+      val mx = auth.agg(max(col("domain_rank")).as("mr"))
+      val weighted = auth.crossJoin(broadcast(mx))
+        .withColumn("dk", col("id").cast("string"))
+        .withColumn("wq", expr("domain_rank * 10000 div mr"))
+      TextAnalysis.weightedSample(weighted, "dk", col("wq"))
+        .select(col("id").as("doc_id"), col("domain"), col("w_i4"), col("h48"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1096,6 +1101,21 @@ object SparkEntry {
       })
   }
 
+  /** The deterministic page-level link graph + domain mapping q83/q84/q86
+    * share (3 out-edges per doc, endpoints mod corpus size; domains per
+    * the q43 synthesis): (edges, docDomains). */
+  private def docLinkGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+      .select(col("src"), ((col("src") * 31 + col("k") * 17 + 1) % n).as("dst"))
+    val docDomains = docs.select(col("doc_id").as("id"),
+      concat(col("source"), lit("-"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com")).as("domain"))
+    (edges, docDomains)
+  }
+
   /** The q83/q84 DuckDB replay core: the integer PageRank unrolled from a
     * SHARED per-iteration SQL template so the rounds — and the two queries
     * — cannot drift from each other or from the operator's arithmetic.
@@ -1140,10 +1160,9 @@ object SparkEntry {
     """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
        FROM it3 ORDER BY doc_id""")
 
-  /** q84's replay: the page edges aggregated to the DOMAIN graph (node id
-    * = the domain's min page id, edge weight = link multiplicity), the
-    * same unrolled PageRank over it, rank joined back per page. */
-  private def domainAuthorityOracleSql: String = pagerankUnrolledSql(
+  /** The domain-graph aggregation q84 and q86 share (node id = the
+    * domain's min page id, edge weight = link multiplicity). */
+  private def domainGraphPrologueSql: String =
     s"""$docEdgesSql,
        dd AS (SELECT doc_id,
                 source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
@@ -1162,9 +1181,32 @@ object SparkEntry {
        nodes AS (SELECT nid AS id FROM nid),
        nNodes AS (SELECT count(*) AS c FROM nodes),
        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM wedges GROUP BY src),
-       ed AS (SELECT e.src, e.dst, g.od, e.w FROM wedges e JOIN deg g USING (src))""",
+       ed AS (SELECT e.src, e.dst, g.od, e.w FROM wedges e JOIN deg g USING (src))"""
+
+  /** q84's replay: the page edges aggregated to the DOMAIN graph, the
+    * same unrolled PageRank over it, rank joined back per page. */
+  private def domainAuthorityOracleSql: String = pagerankUnrolledSql(
+    domainGraphPrologueSql,
     """SELECT dn.doc_id, dn.domain, CAST(it3.r AS BIGINT) AS domain_rank
        FROM dn JOIN it3 ON it3.id = dn.nid ORDER BY doc_id""")
+
+  /** q86's replay: q84's authority normalized to an integer 1e-4 weight
+    * (rank * 1e4 // max_rank, non-negative operands only) feeding the
+    * q50/q71 frozen md5-draw keep rule — same prologue, same unrolled
+    * iterations, so the composition cannot drift from q84. */
+  private def authoritySampleOracleSql: String = pagerankUnrolledSql(
+    domainGraphPrologueSql,
+    """, auth AS (SELECT dn.doc_id, dn.domain, CAST(it3.r AS BIGINT) AS domain_rank
+                  FROM dn JOIN it3 ON it3.id = dn.nid),
+       mx AS (SELECT max(domain_rank) AS mr FROM auth)
+       SELECT doc_id, domain, w_i4, h48 FROM (
+         SELECT doc_id, domain,
+           (domain_rank * 10000) // (SELECT mr FROM mx) AS w_i4,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+             AS BIGINT) AS h48
+         FROM auth)
+       WHERE h48 < (w_i4 * 281474976710656) // 10000
+       ORDER BY doc_id""")
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -2194,6 +2236,8 @@ object SparkEntry {
     "q83_pagerank" -> pagerankOracleSql,
 
     "q84_domain_authority" -> domainAuthorityOracleSql,
+
+    "q86_authority_sample" -> authoritySampleOracleSql,
 
     // the bigram replay: raw-adjacent non-empty token pairs, conditional
     // whole-bit surprisal bits(a->b) = floorlog2(cnt(a *)) -
