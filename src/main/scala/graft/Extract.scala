@@ -15,7 +15,8 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
   *   [--decontaminate-bloom] [--dedup-spans W] [--keep-first-spans W] \
-  *   [--quality-reps] [--table-format parquet|orc] [--recrawl BASEDIR]
+  *   [--max-mean-bits B] [--quality-reps] [--table-format parquet|orc] \
+  *   [--recrawl BASEDIR]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -43,6 +44,7 @@ object Extract {
       passwordColumn: String = null, stripBoilerplate: Boolean = false,
       decontaminate: String = null, deconBloom: Boolean = false,
       dedupSpansW: Int = 0, keepFirstSpansW: Int = 0,
+      maxMeanBitsX100: Long = 0L,
       qualityReps: Boolean = false, tableFormat: String = "parquet",
       recrawl: String = null)
 
@@ -75,6 +77,10 @@ object Extract {
           val w = value("--keep-first-spans").toInt
           require(w >= 0, s"--keep-first-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(keepFirstSpansW = w); i += 2
+        case "--max-mean-bits"    =>
+          val b = value("--max-mean-bits").toLong
+          require(b >= 0, s"--max-mean-bits cap must be >= 0 (0 disables the gate), got $b")
+          a = a.copy(maxMeanBitsX100 = b); i += 2
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2
         case "--recrawl"          => a = a.copy(recrawl = value("--recrawl")); i += 2
@@ -97,6 +103,8 @@ object Extract {
       "--dedup-spans only affects the curated snapshot: pass --curate too")
     require(a.keepFirstSpansW == 0 || a.curate,
       "--keep-first-spans only affects the curated snapshot: pass --curate too")
+    require(a.maxMeanBitsX100 == 0L || a.curate,
+      "--max-mean-bits only affects the curated snapshot: pass --curate too")
     require(!a.qualityReps || a.curate,
       "--quality-reps only affects the curated snapshot: pass --curate too")
     a
@@ -320,6 +328,7 @@ object Extract {
         deconViaBloom = a.deconBloom,
         dedupSpansW = a.dedupSpansW,
         keepFirstSpansW = a.keepFirstSpansW,
+        maxMeanBitsX100 = a.maxMeanBitsX100,
         qualityReps = a.qualityReps)
       new ParquetManifestTable(s"${a.outRoot}/curated", a.tableFormat).commit(curated, batchId)
       // persist the CC convergence profile of THIS curate run (per-round

@@ -993,6 +993,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the pipeline with the LM-surprisal gate on (mean whole-bit cap 505,
+    // self-trained on the heuristic-gate survivors): the CCNet/FineWeb
+    // "perplexity filter" composed into curation, one derived oracle
+    "q87_curate_lmgate" -> ((s, dir) =>
+      Curate.curate(docsWithDups(s, dir), maxMeanBitsX100 = 505L)
+        .orderBy(col("detected_lang"), col("doc_id"))),
+
     // authority-weighted mixture sampling: each page kept with probability
     // proportional to its DOMAIN's rank (w_i4 = rank * 1e4 div max_rank,
     // frozen md5 draw) — "sample training data proportional to source
@@ -1098,6 +1105,33 @@ object SparkEntry {
          FROM (SELECT id, cluster_id,
                  CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 10) AS BIGINT) AS h
                FROM cc) ORDER BY doc_id""")
+      }) +
+      // q87 = q38 with the LM-surprisal gate spliced between the
+      // heuristic gate and exact dedup: the q64 unigram bit accounting
+      // trained on the gate survivors, docs over the mean-bits cap
+      // dropped. Derived from q38 so the pipeline replay cannot drift.
+      ("q87_curate_lmgate" -> {
+        val q38 = m("q38_curate")
+        val gateCte =
+          "g AS (SELECT * FROM a WHERE q_i4 >= 2000 AND detected_lang <> 'und'),"
+        require(q38.contains(gateCte), "q38 oracle drifted from the q87 derivation anchor")
+        q38.replace(gateCte,
+          """g0 AS (SELECT * FROM a WHERE q_i4 >= 2000 AND detected_lang <> 'und'),
+         lmtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM g0),
+         lmtf AS (SELECT doc_id, token, count(*) AS tf
+                  FROM lmtok WHERE token <> '' GROUP BY doc_id, token),
+         lmc AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM lmtf GROUP BY token),
+         lmtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lmc),
+         lmb AS (SELECT token,
+                   CAST((length(bin(total)) - 1) - (length(bin(cnt)) - 1)
+                        AS BIGINT) AS bits
+                 FROM lmc, lmtot),
+         lms AS (SELECT lmtf.doc_id, CAST(sum(lmtf.tf) AS BIGINT) AS nt,
+                   CAST(sum(lmtf.tf * lmb.bits) AS BIGINT) AS sb
+                 FROM lmtf JOIN lmb USING (token) GROUP BY lmtf.doc_id),
+         g AS (SELECT g0.* FROM g0 LEFT JOIN lms ON lms.doc_id = g0.doc_id
+               WHERE (CASE WHEN coalesce(lms.nt, 0) > 0
+                      THEN lms.sb * 100 // lms.nt ELSE 0 END) <= 505),""")
       })
   }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.expressions.Window
   * after extraction:
   *
   *  1. per-document analysis gate (map-local: quality score + language id),
+  *     optionally followed by the LM-surprisal gate (`maxMeanBitsX100`),
   *  2. exact dedup (shuffle on md5, keep min id),
   *  3. near-dup dedup: banded-minhash candidates -> exact jaccard verify ->
   *     connected components -> keep each cluster's min id (or, with
@@ -41,7 +42,8 @@ object Curate {
              dedupSpansW: Int = 0,
              qualityReps: Boolean = false,
              deconViaBloom: Boolean = false,
-             keepFirstSpansW: Int = 0): DataFrame = {
+             keepFirstSpansW: Int = 0,
+             maxMeanBitsX100: Long = 0L): DataFrame = {
     // -1. optional WITHIN-doc repeated-span removal (dedupSpansW > 0) as
     // the very first rewrite: it is a pure map over each document alone
     // (zero shuffle), so it runs before any cross-document stage — a
@@ -106,8 +108,27 @@ object Curate {
       TextAnalysis.langId(col(textCol)).as("detected_lang"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
       TextAnalysis.qualityScoreI4(col(textCol)).as("quality_i4"))
-    val gated = analyzed
+    val gated0 = analyzed
       .where(col("quality_i4") >= minQualityI4 && col("detected_lang") =!= "und")
+
+    // 1.5. optional LM-surprisal gate (maxMeanBitsX100 > 0): the
+    // CCNet/FineWeb "perplexity filter" — train the unigram model on the
+    // heuristic-gate survivors themselves and drop documents whose mean
+    // whole-bit surprisal exceeds the cap (gibberish and hash soup keep
+    // plausible lengths/punctuation but read as high-surprisal token
+    // streams). Self-trained, so no external model artifact; integer end
+    // to end (the q64 discipline) so the composed oracle replays exactly.
+    // Runs BEFORE exact dedup: like the heuristic gate it is a pure
+    // function of the corpus, and the q38-family oracle splices here.
+    val gated =
+      if (maxMeanBitsX100 <= 0) gated0
+      else {
+        val keep = LanguageModel
+          .selfSurprisal(gated0.select(col("doc_id"), col("text")), "doc_id", "text")
+          .where(col("mean_bits_x100") <= maxMeanBitsX100)
+          .select(col("id").as("doc_id"))
+        gated0.join(keep, Seq("doc_id"), "left_semi")
+      }
 
     // 2. exact dedup: keep the smallest id per distinct text
     val keepExact = gated

@@ -84,6 +84,33 @@ class CurateSpec extends AnyFunSuite {
     assert(nStaged < nRaw, s"staged=$nStaged raw=$nRaw")
   }
 
+  test("LM-surprisal gate: equals pre-filtering by the gate replay; the cap bites") {
+    val plain = Curate.curate(docs)
+    val gated = Curate.curate(docs, maxMeanBitsX100 = 505L)
+    val plainIds = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds != plainIds, "the cap must bite on this corpus")
+    // parity: the staged gate == running the plain pipeline on the corpus
+    // pre-filtered by the replayed gate (self-surprisal over the
+    // heuristic-gate survivors, cap 505). NOTE gated ids need not be a
+    // SUBSET of plain ids: dropping a duplicate group's min-id copy
+    // legitimately promotes a later copy to dedup winner.
+    val analyzed = docs.select(col("doc_id"), col("text"))
+      .where(graft.operators.TextAnalysis.qualityScoreI4(col("text")) >= 2000 &&
+        graft.operators.TextAnalysis.langId(col("text")) =!= "und")
+    val keep = graft.operators.LanguageModel
+      .selfSurprisal(analyzed, "doc_id", "text")
+      .where(col("mean_bits_x100") <= 505L)
+      .select(col("id").as("doc_id"))
+    val replay = Curate.curate(docs.join(keep, Seq("doc_id"), "left_semi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue)).toSet
+    val got = gated
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue)).toSet
+    assert(got == replay)
+  }
+
   test("packing is per-language monotone with budget-sized pack ids") {
     val out = Curate.curate(docs, packBudget = 256)
       .orderBy("detected_lang", "doc_id").collect()

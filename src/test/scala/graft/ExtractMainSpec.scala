@@ -340,6 +340,42 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(docs.read(spark).count() == 8)
   }
 
+  test("--max-mean-bits: gibberish passes the heuristic gate but drops at the LM gate") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_lm_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lm_out").toString
+    def article(url: String, words: Seq[String]): graft.sources.CrawlRow = {
+      val para = "<p>" + words.mkString(" ") + "</p>"
+      graft.sources.CrawlRow(url, new java.sql.Timestamp(0L),
+        s"<html><head><title>t</title></head><body><article>$para</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    // fluent: stopwords recur (low bits); gibberish: en markers up front
+    // (passes langid + heuristic quality) then all-singleton tokens —
+    // high mean surprisal under the self-trained model
+    val fluent = (1 to 80).flatMap(k => Seq("the", s"alpha$k", "and", "of", s"item$k"))
+    val gibberish = Seq("the", "and", "of") ++ (1 to 197).map(k => s"zx${k}q")
+    val urlF = "test://lm/fluent.html"
+    val urlG = "test://lm/gibberish.html"
+    Seq(article(urlF, fluent), article(urlG, gibberish)).toDS()
+      .toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "2", "--curate",
+      "--max-mean-bits", "700"))
+    val curated = new graft.sources.ParquetManifestTable(s"$outDir/curated")
+      .readLatest(spark)
+    def urlId(u: String): Long =
+      Seq(u).toDF("u").select(xxhash64(col("u"))).head().getLong(0)
+    val ids = curated.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.contains(urlId(urlF)), s"the fluent page must survive: $ids")
+    assert(!ids.contains(urlId(urlG)), s"the gibberish page must drop at the LM gate: $ids")
+    // without the flag both survive — the drop above is the LM gate's
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_lm_out2").toString
+    Extract.main(Array(inDir, outDir2, "--partitions", "2", "--curate"))
+    val ids2 = new graft.sources.ParquetManifestTable(s"$outDir2/curated")
+      .readLatest(spark).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids2 == Set(urlId(urlF), urlId(urlG)), s"both pass the heuristic gate: $ids2")
+  }
+
   test("--keep-first-spans: the later near-copy is judged on its novel remainder") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_kfs_in").toString
