@@ -1024,7 +1024,15 @@ object SparkEntry {
       LanguageModel.selfBigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("surprisal_bits"), col("mean_bits_x100"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // collocation mining: top-30 most-associated adjacent token pairs by
+    // the decomposed whole-bit PMI (marginals over the bigram event
+    // space); md5-key tiebreaks, so the global rank is engine-exact
+    "q88_collocations" -> ((s, dir) =>
+      LanguageModel.collocations(t(s, dir, "documents"), "text",
+          k = 30, minCount = 3L)
+        .orderBy(col("rnk")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2139,6 +2147,39 @@ object SparkEntry {
                      ELSE 0 END AS BIGINT) AS mean_bits_x100
          FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st USING (doc_id)
          ORDER BY doc_id""",
+
+    // the decomposed whole-bit PMI replayed verbatim — fl2 sums, never
+    // the overflowing cnt*N products; marginals over the bigram event
+    // space; rank tiebreaks on the md5 keys (engine-exact hex order)
+    "q88_collocations" ->
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL
+         ), bi AS (
+           SELECT t[i+1] AS a, t[i+2] AS b
+           FROM toks, unnest(range(len(t) - 1)) AS u(i)
+           WHERE t[i+1] <> '' AND t[i+2] <> ''
+         ), cnt AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY a, b
+         ), ma AS (
+           SELECT a, CAST(sum(cnt) AS BIGINT) AS ca FROM cnt GROUP BY a
+         ), mb AS (
+           SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM cnt GROUP BY b
+         ), tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt
+         ), scored AS (
+           SELECT cnt.a AS token_a, cnt.b AS token_b, cnt.cnt,
+             CAST((length(bin(cnt.cnt)) - 1) + (length(bin((SELECT n FROM tot))) - 1)
+                - (length(bin(ma.ca)) - 1) - (length(bin(mb.cb)) - 1)
+               AS BIGINT) AS pmi_bits
+           FROM cnt JOIN ma USING (a) JOIN mb USING (b)
+           WHERE cnt.cnt >= 3
+         )
+         SELECT token_a, token_b, cnt, pmi_bits,
+           CAST(row_number() OVER (ORDER BY pmi_bits DESC, cnt DESC,
+             md5(token_a) ASC, md5(token_b) ASC) AS BIGINT) AS rnk
+         FROM scored
+         ORDER BY rnk LIMIT 30""",
 
     // same shingle space: md5 of the 5-token windows of the single-space
     // split (DuckDB 1-based inclusive slice == the native token_chunks

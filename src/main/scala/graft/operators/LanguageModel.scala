@@ -173,6 +173,70 @@ object LanguageModel {
   def selfBigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramSurprisal(df, idCol, textCol, bigramModel(df, idCol, textCol))
 
+  /** Collocation mining — the corpus's top-k most ASSOCIATED adjacent
+    * token pairs ("strongly glued" phrases: named entities, technical
+    * terms, boilerplate idioms), ranked by a pointwise-mutual-information
+    * score in the whole-bit integer space:
+    * `pmi_bits = (fl2(cnt_ab) + fl2(N)) - (fl2(cnt_a·) + fl2(cnt_·b))`,
+    * with the marginals taken over the bigram event space itself (first-
+    * and second-position occurrence counts) and N the total bigram count.
+    * The decomposed fl2 sum is within ±1 bit of fl2 of the true ratio but
+    * never forms the products `cnt·N` (which overflow a long at corpus
+    * scale) — the decomposition IS the score's definition, replayed
+    * verbatim by the oracle, so it is cross-engine exact by construction.
+    *
+    * Deterministic output: pairs with `cnt >= minCount` ranked by
+    * (pmi_bits desc, cnt desc, token_a asc, token_b asc) — a unique total
+    * order ((a, b) is unique) — limited to k. Output:
+    * (token_a, token_b, cnt, pmi_bits, rnk).
+    *
+    * Scale shape: one map-side-combined groupBy on (a, b) md5 keys (one
+    * representative string per key per partition rides the exchange — the
+    * [[tokenDrift]] discipline), two bigram-vocab-sized marginal re-aggs,
+    * vocab-to-vocab joins, and a global top-k that plans as
+    * TakeOrdered(k) — never a full sort of the pair space. */
+  def collocations(df: DataFrame, textCol: String,
+                   k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val occ = df.where(col(textCol).isNotNull)
+      .select(
+        explode(graft.functions.SketchFunctions.tokenChunks(col(textCol), 2, 1)).as("t"))
+      .select(
+        substring_index(col("t.chunk"), " ", 1).as("ta"),
+        substring_index(col("t.chunk"), " ", -1).as("tb"),
+        instr(col("t.chunk"), " ").as("sp"))
+      .where(col("sp") > 0 && col("ta") =!= "" && col("tb") =!= "")
+      .select(md5(col("ta")).as("a"), md5(col("tb")).as("b"),
+        col("ta"), col("tb"))
+    val cnt = occ.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("ta")).as("token_a"), min(col("tb")).as("token_b"))
+    val margA = cnt.groupBy(col("a")).agg(sum(col("cnt")).as("ca"))
+    val margB = cnt.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+    val totalRow = cnt.agg(sum(col("cnt")).as("n"))
+    cnt.where(col("cnt") >= minCount)
+      .join(margA, Seq("a")).join(margB, Seq("b"))
+      .crossJoin(broadcast(totalRow))
+      // tiebreak on the md5 KEYS, not the raw tokens: both engines render
+      // the same lowercase hex, so the order is engine-exact with no
+      // collation dependence (the q51 ranking discipline)
+      .select(col("a"), col("b"), col("token_a"), col("token_b"), col("cnt"),
+        (floorLog2(col("cnt")) + floorLog2(col("n"))
+          - floorLog2(col("ca")) - floorLog2(col("cb"))).as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("cnt").desc,
+        col("a").asc, col("b").asc)
+      .limit(k)
+      // the rank window runs over the already-k-bounded frame (the
+      // Vocab.build convention), never the pair space
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("pmi_bits").desc, col("cnt").desc,
+          col("a").asc, col("b").asc)).cast("long"))
+      .select(col("token_a"), col("token_b"), col("cnt"),
+        col("pmi_bits"), col("rnk"))
+  }
+
   /** Token-DISTRIBUTION drift between two corpora — the monitoring signal
     * a recrawl pipeline watches between snapshots (did the crawl's content
     * mix shift? did a template token flood in? did a language drain out?).

@@ -127,6 +127,39 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(a.map(_.getLong(3)).toSet.size > 1, "scores must separate documents")
   }
 
+  test("collocations == brute-force decomposed-PMI replay; guards") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = LanguageModel.collocations(docs, "text", k = 20, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+    def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val pairs = docs.select("text").collect()
+      .flatMap(r => Option(r.getString(0))).flatMap { t =>
+        val ts = t.split(" ", -1)
+        (0 until ts.length - 1).collect {
+          case i if ts(i).nonEmpty && ts(i + 1).nonEmpty => (ts(i), ts(i + 1))
+        }
+      }
+    val cnt = pairs.groupBy(identity).map { case (p, a) => p -> a.length.toLong }
+    val ca = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val n = cnt.values.sum
+    val expected = cnt.toSeq.filter(_._2 >= 3L)
+      .map { case ((a, b), c) =>
+        (a, b, c, fl2(c) + fl2(n) - fl2(ca(a)) - fl2(cb(b))) }
+      .sortBy { case (a, b, c, p) => (-p, -c, h(a), h(b)) }
+      .take(20).zipWithIndex
+      .map { case ((a, b, c, p), i) => (a, b, c, p, i + 1L) }
+    assert(got == expected)
+    assert(got.map(_._5) == (1L to 20L), "rank must be a total order")
+    assertThrows[IllegalArgumentException](
+      LanguageModel.collocations(docs, "text", k = 0))
+    assertThrows[IllegalArgumentException](
+      LanguageModel.collocations(docs, "text", k = 5, minCount = 0L))
+  }
+
   test("tokenDrift: movers only, OOV charges on both sides, unmoved tokens drop out") {
     import spark.implicits._
     // A: 8x "aa", 4x "bb", 2x "cc", 2x "dd"  (total 16, log_tot = 4)
