@@ -156,10 +156,15 @@ object StreamingCuration {
         outT.commit(process(firstSeen(batch, outT), benchSh), f"b$batchId%08d")
       }
       .start()
-    // tie the cached shingle set's lifetime to the query — without this
-    // every start() pins one orphaned cached frame in storage memory for
-    // the session's lifetime
-    val spark = docs.sparkSession
+    tieCacheToQuery(q, benchSh, docs.sparkSession)
+    q
+  }
+
+  /** Tie a cached frame's lifetime to a streaming query — without this
+    * every start() pins one orphaned cached frame in storage memory for
+    * the session's lifetime. */
+  private def tieCacheToQuery(q: StreamingQuery, cached: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession): Unit = {
     val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -169,11 +174,40 @@ object StreamingCuration {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (e.id == q.id) {
-            benchSh.unpersist()
+            cached.unpersist()
             spark.streams.removeListener(this)
           }
       }
     spark.streams.addListener(listener)
+  }
+
+  /** Streaming LM quality scoring — each micro-batch's first-seen
+    * documents scored against a FROZEN pre-trained unigram model
+    * ([[graft.operators.LanguageModel.unigramModel]]'s (tk, cnt, bits)
+    * frame: train once on a reference corpus, persist, score forever) and
+    * appended as (id, n_tokens, surprisal_bits, mean_bits_x100) — the
+    * streaming member of the q64/q87 quality-filter family. Stateless per
+    * batch beyond the first-seen guard: a document's score depends only on
+    * its own tokens and the fixed model, so the output union equals the
+    * batch [[graft.operators.LanguageModel.surprisalStats]] over the
+    * first-seen docs (parity-spec'd). The model frame is vocab-sized:
+    * cached once, lifetime tied to the query. */
+  def startSurprisalScore(docs: DataFrame, model: DataFrame,
+                          outRoot: String, checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val outT = new ParquetManifestTable(outRoot)
+    val m = model.cache()
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        outT.commit(
+          graft.operators.LanguageModel.surprisalStats(
+            firstSeen(batch, outT), "id", "text", m),
+          f"b$batchId%08d")
+      }
+      .start()
+    tieCacheToQuery(q, m, docs.sparkSession)
     q
   }
 

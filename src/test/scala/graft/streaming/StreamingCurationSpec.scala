@@ -122,6 +122,40 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed.size == 4)
   }
 
+  test("streaming surprisal scoring == batch surprisalStats over first-seen docs (frozen model)") {
+    import graft.operators.LanguageModel
+    val inDir = java.nio.file.Files.createTempDirectory("graft_slm_in").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_slm_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_slm_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // frozen reference model — trained once, BEFORE the stream
+    val model = LanguageModel.unigramModel(
+      Seq((1L, "a a a a b b c"), (2L, "a b c d")).toDF("id", "text"), "id", "text")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamingCuration.startSurprisalScore(stream, model, outRoot, ckDir)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
+    }
+    val d1 = Seq((10L, "a zz"), (11L, null.asInstanceOf[String]))
+    // delivery 2 re-delivers id 10 (ignored) and adds an OOV-heavy doc
+    val d2 = Seq((10L, "redelivered ignored"), (12L, "zz zz b"))
+    d1.toDF("id", "text").write.mode("append").parquet(inDir); run()
+    d2.toDF("id", "text").write.mode("append").parquet(inDir); run()
+
+    val streamed = new graft.sources.ParquetManifestTable(outRoot).read(spark)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val firstSeen = Seq((10L, "a zz"), (11L, null.asInstanceOf[String]),
+      (12L, "zz zz b"))
+    val batch = LanguageModel.surprisalStats(firstSeen.toDF("id", "text"),
+        "id", "text", model)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("streaming bloom decontaminate == batch flag across two deliveries (filter built once)") {
     import graft.operators.Decontaminate
     val inDir = java.nio.file.Files.createTempDirectory("graft_sdb_in").toString
