@@ -15,7 +15,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--object-streams] [--sinks] [--curate] [--partitions N] \
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
   *   [--decontaminate-bloom] [--dedup-spans W] [--keep-first-spans W] \
-  *   [--max-mean-bits B] [--quality-reps] [--table-format parquet|orc] \
+  *   [--max-mean-bits B100] [--quality-reps] [--table-format parquet|orc] \
   *   [--recrawl BASEDIR]
   * }}}
   *
@@ -78,8 +78,10 @@ object Extract {
           require(w >= 0, s"--keep-first-spans width must be >= 0 (0 disables the stage), got $w")
           a = a.copy(keepFirstSpansW = w); i += 2
         case "--max-mean-bits"    =>
+          // the cap is mean bits x100 (centibits): 700 = 7.00 bits/token
           val b = value("--max-mean-bits").toLong
-          require(b >= 0, s"--max-mean-bits cap must be >= 0 (0 disables the gate), got $b")
+          require(b >= 0, s"--max-mean-bits cap is mean bits x100 (700 = 7.00 bits) " +
+            s"and must be >= 0 (0 disables the gate), got $b")
           a = a.copy(maxMeanBitsX100 = b); i += 2
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2

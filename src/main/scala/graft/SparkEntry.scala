@@ -1213,7 +1213,8 @@ object SparkEntry {
        nid AS (SELECT domain, CAST(min(doc_id) AS BIGINT) AS nid
                FROM dd GROUP BY domain),
        dn AS (SELECT dd.doc_id, dd.domain, n.nid
-              FROM dd JOIN nid n USING (domain)),
+              FROM dd JOIN nid n
+              ON dd.domain IS NOT DISTINCT FROM n.domain),
        wedges AS (SELECT a.nid AS src, b.nid AS dst,
                     CAST(count(*) AS BIGINT) AS w
                   FROM edges e

@@ -123,11 +123,16 @@ object Curate {
     val gated =
       if (maxMeanBitsX100 <= 0) gated0
       else {
+        // checkpoint the gate survivors first: the LM stage consumes this
+        // frame four times (model train, scoring pass, anchor, semi-join
+        // LHS) and the analysis gate is interpreted-HOF work — the same
+        // re-execution the stage-2 `uniq` checkpoint exists to prevent
+        val g0 = Dedup.checkpointDf(gated0, reliableCheckpoint)
         val keep = LanguageModel
-          .selfSurprisal(gated0.select(col("doc_id"), col("text")), "doc_id", "text")
+          .selfSurprisal(g0.select(col("doc_id"), col("text")), "doc_id", "text")
           .where(col("mean_bits_x100") <= maxMeanBitsX100)
           .select(col("id").as("doc_id"))
-        gated0.join(keep, Seq("doc_id"), "left_semi")
+        g0.join(keep, Seq("doc_id"), "left_semi")
       }
 
     // 2. exact dedup: keep the smallest id per distinct text

@@ -48,6 +48,20 @@ object LanguageModel {
         (floorLog2(col("total")) - floorLog2(col("cnt"))).as("bits"))
   }
 
+  /** The 1-row `oov_bits = max(bits) + 1` broadcast frame, RAISING on an
+    * empty model instead of yielding NULL: an empty model would make
+    * `coalesce(bits, oov_bits)` NULL and the summed surprisal silently 0 —
+    * a quality gate built on it would pass everything, the exact inversion
+    * of the documented OOV charge. */
+  private def emptyCheckedOov(model: DataFrame, op: String): DataFrame =
+    model.agg((max(col("bits")) + 1L).as("__oov"))
+      .select(when(col("__oov").isNotNull, col("__oov"))
+        .otherwise(raise_error(
+          lit(s"$op: the model is EMPTY (zero rows) — every lookup would " +
+            "be OOV with an undefined charge; train on a non-empty corpus"))
+          .cast("long"))
+        .as("oov_bits"))
+
   /** `floor(log2(n))` for n >= 1 as an exact integer: the bit length of n
     * minus one, via the binary-string rendering both engines share
     * (`bin(5) = '101'` in Spark AND DuckDB — no float log2 whose boundary
@@ -73,7 +87,7 @@ object LanguageModel {
       .select(col("id"), md5(col("token")).as("tk"), col("tf"))
     // OOV charge derived from the model itself: 1-row broadcast of
     // max(bits) + 1 == floor(log2(total)) + 1 (cnt = 1 rows carry the max)
-    val oovRow = model.agg((max(col("bits")) + 1L).as("oov_bits"))
+    val oovRow = emptyCheckedOov(model, "LanguageModel.surprisalStats")
     val scored = tfc
       .join(model.select(col("tk"), col("bits")), Seq("tk"), "left")
       .crossJoin(broadcast(oovRow))
@@ -127,17 +141,26 @@ object LanguageModel {
         (floorLog2(col("pcnt")) - floorLog2(col("cnt"))).as("bits"))
   }
 
+  /** One row per bigram OCCURRENCE with raw token columns (ta, tb) plus
+    * the pass-through columns in `keep` — THE single definition of the
+    * bigram event space (raw-adjacent non-empty token pairs via the native
+    * size-2 stride-1 chunks; the spaceless tail chunk drops), shared by
+    * every order-2 consumer so the extraction rules cannot fork. */
+  private def rawBigrams(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(keep.map(col) :+
+        explode(graft.functions.SketchFunctions.tokenChunks(col(textCol), 2, 1)).as("t"): _*)
+      .select(keep.map(col) :+
+        substring_index(col("t.chunk"), " ", 1).as("ta") :+
+        substring_index(col("t.chunk"), " ", -1).as("tb") :+
+        instr(col("t.chunk"), " ").as("sp"): _*)
+      .where(col("sp") > 0 && col("ta") =!= "" && col("tb") =!= "")
+      .drop("sp")
+
   /** (id, a, b) per bigram OCCURRENCE, md5 keys — the shared map-only
     * extraction behind [[bigramModel]] and [[bigramSurprisal]]. */
   private def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(graft.functions.SketchFunctions.tokenChunks(col(textCol), 2, 1)).as("t"))
-      .select(col("id"),
-        substring_index(col("t.chunk"), " ", 1).as("ta"),
-        substring_index(col("t.chunk"), " ", -1).as("tb"),
-        instr(col("t.chunk"), " ").as("sp"))
-      .where(col("sp") > 0 && col("ta") =!= "" && col("tb") =!= "")
+    rawBigrams(df.select(col(idCol).as("id"), col(textCol)), textCol, Seq("id"))
       .select(col("id"), md5(col("ta")).as("a"), md5(col("tb")).as("b"))
 
   /** Score each document's TRANSITIONS against a trained bigram model —
@@ -151,7 +174,7 @@ object LanguageModel {
                       model: DataFrame): DataFrame = {
     val occ = bigramOccurrences(df, idCol, textCol)
       .groupBy(col("id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-    val oovRow = model.agg((max(col("bits")) + 1L).as("oov_bits"))
+    val oovRow = emptyCheckedOov(model, "LanguageModel.bigramSurprisal")
     val scored = occ
       .join(model.select(col("a"), col("b"), col("bits")), Seq("a", "b"), "left")
       .crossJoin(broadcast(oovRow))
@@ -186,8 +209,9 @@ object LanguageModel {
     * verbatim by the oracle, so it is cross-engine exact by construction.
     *
     * Deterministic output: pairs with `cnt >= minCount` ranked by
-    * (pmi_bits desc, cnt desc, token_a asc, token_b asc) — a unique total
-    * order ((a, b) is unique) — limited to k. Output:
+    * (pmi_bits desc, cnt desc, md5(token_a) asc, md5(token_b) asc) — a
+    * unique total order ((a, b) is unique), tiebroken on the md5 KEYS so
+    * the rank has no string-collation dependence — limited to k. Output:
     * (token_a, token_b, cnt, pmi_bits, rnk).
     *
     * Scale shape: one map-side-combined groupBy on (a, b) md5 keys (one
@@ -199,14 +223,7 @@ object LanguageModel {
                    k: Int, minCount: Long = 2L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val occ = df.where(col(textCol).isNotNull)
-      .select(
-        explode(graft.functions.SketchFunctions.tokenChunks(col(textCol), 2, 1)).as("t"))
-      .select(
-        substring_index(col("t.chunk"), " ", 1).as("ta"),
-        substring_index(col("t.chunk"), " ", -1).as("tb"),
-        instr(col("t.chunk"), " ").as("sp"))
-      .where(col("sp") > 0 && col("ta") =!= "" && col("tb") =!= "")
+    val occ = rawBigrams(df, textCol, Seq.empty)
       .select(md5(col("ta")).as("a"), md5(col("tb")).as("b"),
         col("ta"), col("tb"))
     val cnt = occ.groupBy(col("a"), col("b"))

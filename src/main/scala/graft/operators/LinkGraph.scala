@@ -154,7 +154,13 @@ object LinkGraph {
         when(col("dnid").isNotNull, col("dnid")).otherwise(raise_error(concat(
           lit(s"$op: edge dst endpoint not in docDomains: "),
           coalesce(col("dst").cast("string"), lit("null")))).cast("long")).as("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      // clamp the multiplicity at pageRank's overflow bound: a mega-domain
+      // self-edge can exceed Long.MaxValue/totalMass (~9.2M links at the
+      // default mass) and must not abort the job — past the cap the
+      // weight's rank effect is negligible (it already dominates its
+      // source's out-weight), so saturating is the correct degradation
+      .groupBy(col("src"), col("dst"))
+      .agg(least(count(lit(1)), lit(Long.MaxValue / totalMass)).as("w"))
     val ranks = pageRank(de, nid.select(col("nid").as("id")), iters,
       dampingPpm, totalMass, reliableCheckpoint, weightCol = Some("w"))
     docNode

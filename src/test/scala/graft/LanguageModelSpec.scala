@@ -58,6 +58,22 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(scored(11L) == ((0L, 0L, 0L)))
   }
 
+  test("empty models raise loudly instead of scoring everything 0") {
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val emptyUni = LanguageModel.unigramModel(
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "text"), "id", "text")
+    val e1 = intercept[Exception] {
+      LanguageModel.surprisalStats(docs, "id", "text", emptyUni).collect()
+    }
+    assert(e1.getMessage.contains("EMPTY"), e1.getMessage)
+    val emptyBi = LanguageModel.bigramModel(
+      Seq((9L, "solo")).toDF("id", "text"), "id", "text")
+    val e2 = intercept[Exception] {
+      LanguageModel.bigramSurprisal(docs, "id", "text", emptyBi).collect()
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("surprisalStats raise_errors on duplicate ids") {
     val dup = Seq((1L, "a b"), (1L, "c d")).toDF("id", "text")
     val model = LanguageModel.unigramModel(dup.limit(1), "id", "text")
