@@ -224,8 +224,16 @@ object Bench {
       s""""work_conservation_8_to_32":${f"$workRatio8to32%.3f"},""" +
       s""""efficiency_2_to_8":${f"$eff2to8%.3f"},"efficiency":${f"$eff8to32%.3f"}}"""
     def assemble(queries: String, bands: String): String =
-      s"""{"metric":"extraction docs/sec at local[32] (4N); warm query sec (full detail in BENCH_OUT.json)","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$queries,$bands"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},$sustained$scaling}"""
-    val stdoutLine = assemble(qs, "")
+      s"""{"metric":"extraction docs/sec at local[32] (4N); warm query sec (detail: BENCH_OUT.json)","value":${f"${m32.dps}%.1f"},"unit":"docs/sec","queries":$queries,$bands"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},$sustained$scaling}"""
+    // the stdout line must stay comfortably inside the driver's 2,000-byte
+    // tail capture FOREVER as the query count grows: degrade per-query
+    // resolution (2dp -> 1dp) before ever risking the budget — the full
+    // 3dp detail always lives in BENCH_OUT.json
+    val stdoutLine = {
+      val at2dp = assemble(qs, "")
+      if (at2dp.length <= 1500) at2dp
+      else assemble(qJson(_.takeWhile(_ != '_'), 1), "")
+    }
     val fileJson = assemble(qJson(identity, 3), s""""query_bands":$qBands,""")
     if (stdoutLine.length > 1500)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${stdoutLine.length} bytes — " +
