@@ -16,7 +16,7 @@ import graft.sources.{CrawlCorpus, CrawlRow, ParquetManifestTable, Resume}
   *   [--password-column COL] [--strip-boilerplate] [--decontaminate DIR] \
   *   [--decontaminate-bloom] [--dedup-spans W] [--keep-first-spans W] \
   *   [--max-mean-bits B100] [--quality-reps] [--table-format parquet|orc] \
-  *   [--recrawl BASEDIR]
+  *   [--recrawl BASEDIR] [--link-graph]
   * }}}
   *
   * Per run: resume-filter the input against the committed output (exactly
@@ -46,7 +46,7 @@ object Extract {
       dedupSpansW: Int = 0, keepFirstSpansW: Int = 0,
       maxMeanBitsX100: Long = 0L,
       qualityReps: Boolean = false, tableFormat: String = "parquet",
-      recrawl: String = null)
+      recrawl: String = null, linkGraph: Boolean = false)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -86,6 +86,7 @@ object Extract {
         case "--quality-reps"     => a = a.copy(qualityReps = true); i += 1
         case "--table-format"     => a = a.copy(tableFormat = value("--table-format")); i += 2
         case "--recrawl"          => a = a.copy(recrawl = value("--recrawl")); i += 2
+        case "--link-graph"       => a = a.copy(linkGraph = true); i += 1
         case other =>
           if (a.input == null) a = a.copy(input = other)
           else if (a.outRoot == null) a = a.copy(outRoot = other)
@@ -304,6 +305,37 @@ object Extract {
       ExtractPipeline.partitionMetrics(committedBatch.as[graft.operators.ExtractedDoc])
         .withColumn("batch_id", lit(batchId)),
       batchId)
+
+    if (a.linkGraph) {
+      // --link-graph: the crawl's REAL hyperlink structure. Per batch, the
+      // pending pages' resolved out-links (native html_links over the raw
+      // payload — one map-local pass, PDF rows yield none) append to a
+      // `links` table under the same deterministic batch id; then domain
+      // authority recomputes over EVERYTHING committed (links whose target
+      // is outside the corpus are dropped — PageRank's id universe is the
+      // committed url set) and lands as a replace-style `authority`
+      // snapshot: (url, domain, domain_rank), the crawl-prioritization /
+      // mixture-weight signal per page.
+      val linksTable = new ParquetManifestTable(s"${a.outRoot}/links", a.tableFormat)
+      linksTable.commit(
+        pending.toDF().select(col("url"),
+          explode(graft.functions.ExtractFunctions.htmlLinks(col("url"), col("html")))
+            .as("dst_url")),
+        batchId)
+      val docUrls = Resume.currentPerUrl(docsTable.read(spark)).select(col("url"))
+      val docMap = docUrls.select(col("url"),
+        xxhash64(col("url")).as("id"),
+        graft.operators.WebCuration.domainOf(col("url")).as("domain"))
+      val edges = linksTable.read(spark)
+        .join(docUrls.withColumnRenamed("url", "dst_url"), Seq("dst_url"), "left_semi")
+        .select(xxhash64(col("url")).as("src"), xxhash64(col("dst_url")).as("dst"))
+      val authority = graft.operators.LinkGraph
+        .domainAuthority(docMap.select(col("id"), col("domain")), edges, iters = 3)
+        .join(docMap.select(col("url"), col("id")), Seq("id"))
+        .select(col("url"), col("domain"), col("domain_rank"))
+      new ParquetManifestTable(s"${a.outRoot}/authority", a.tableFormat)
+        .commit(authority, batchId)
+    }
 
     if (a.curate) {
       // the full training-data stage over everything committed so far:

@@ -31,6 +31,15 @@ object ExtractKernel {
     else if (graft.operators.ExtractPipeline.isPdf(if (url == null) "" else url.toString, payload))
       pdfText(payload)
     else htmlText(payload)
+
+  def htmlLinks(url: UTF8String, payload: Array[Byte]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (payload == null) return null
+    val out = graft.html.HtmlLinks.links(payload,
+      if (url == null) null else url.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(UTF8String.fromString).toArray[Any])
+  }
 }
 
 case class PdfText(child: Expression) extends UnaryExpression {
@@ -77,6 +86,35 @@ case class GraftText(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "graft_text"
 }
 
+case class HtmlLinksExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"html_links requires (string url, binary payload), got ${l.sql} and ${r.sql}")
+    }
+  override protected def nullSafeEval(url: Any, payload: Any): Any =
+    ExtractKernel.htmlLinks(url.asInstanceOf[UTF8String], payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, p) => s"graft.functions.ExtractKernel.htmlLinks($u, $p)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HtmlLinksExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "html_links"
+}
+
+/** DataFrame-API handles for the extraction natives (the SketchFunctions
+  * convention). */
+object ExtractFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def htmlLinks(url: Column, payload: Column): Column =
+    ColumnBridge.column(HtmlLinksExpr(
+      ColumnBridge.expression(url), ColumnBridge.expression(payload)))
+}
+
 /** Registration: either as session extensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
   * on an existing session via `GraftFunctions.register(spark)`. Covers the
@@ -109,6 +147,7 @@ object GraftFunctionSet {
     "pdf_text" -> (args => PdfText(arity("pdf_text", 1)(args).head)),
     "html_text" -> (args => HtmlText(arity("html_text", 1)(args).head)),
     "graft_text" -> (args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }),
+    "html_links" -> (args => { val a = arity("html_links", 2)(args); HtmlLinksExpr(a(0), a(1)) }),
     "simhash64" -> (args => SimHash64(arity("simhash64", 1)(args).head)),
     "simhash_md5" -> (args => SimHashMd5(arity("simhash_md5", 1)(args).head)),
     "fingerprint_md5" -> (args => FingerprintMd5(arity("fingerprint_md5", 1)(args).head)),

@@ -376,6 +376,57 @@ class ExtractMainSpec extends AnyFunSuite {
     assert(ids2 == Set(urlId(urlF), urlId(urlG)), s"both pass the heuristic gate: $ids2")
   }
 
+  test("--link-graph: real hyperlinks drive the committed authority snapshot") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_lg_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lg_out").toString
+    def page(url: String, links: Seq[String], words: String): graft.sources.CrawlRow = {
+      val as = links.map(l => s"""<a href="$l">ref</a>""").mkString(" ")
+      graft.sources.CrawlRow(url, new java.sql.Timestamp(0L),
+        s"<html><head><title>t</title></head><body><article><p>$words</p>$as</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    def u(d: String, k: Int) = s"http://$d.test/p$k.html"
+    // hub domain a: links only ITSELF (keeps its mass) and is linked by
+    // every b page; b has a self-edge and one c in-link; c gets nothing.
+    // PageRank funnels along out-links, so a page's whole rank follows its
+    // only link — a "hub" must retain mass internally to stay on top.
+    // One external link (outside the corpus) must drop from the edge set.
+    val crawl = Seq(
+      page(u("a", 1), Seq(u("a", 2)), "alpha body one"),
+      page(u("a", 2), Seq(u("a", 1)), "alpha body two"),
+      page(u("b", 1), Seq(u("a", 1), "https://outside.example/x"), "beta body one"),
+      page(u("b", 2), Seq(u("a", 2), "/p1.html"), "beta body two"),
+      page(u("c", 1), Seq(u("b", 1)), "gamma body one"),
+      page(u("c", 2), Seq(u("a", 1)), "gamma body two"))
+    crawl.toDS().toDF().write.mode("overwrite").parquet(inDir)
+    Extract.main(Array(inDir, outDir, "--partitions", "2", "--link-graph"))
+
+    val links = new graft.sources.ParquetManifestTable(s"$outDir/links").read(spark)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // relative "/p1.html" on b2 resolves to b's own host; the external link
+    // is present in the LINKS table (it is a real out-link) …
+    assert(links.contains((u("b", 2), "http://b.test/p1.html")))
+    assert(links.contains((u("b", 1), "https://outside.example/x")))
+    assert(links.contains((u("c", 1), u("b", 1))))
+
+    val auth = new graft.sources.ParquetManifestTable(s"$outDir/authority")
+      .readLatest(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(auth.length == 6 && auth.forall(_._2 != null))
+    val byDom = auth.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDom.keySet == Set("a.test", "b.test", "c.test"))
+    // every page inherits its domain's single rank
+    assert(byDom.values.forall(_.size == 1), s"$byDom")
+    // the mass-retaining hub outranks b (one in-link), which outranks c (none)
+    assert(byDom("a.test").head > byDom("b.test").head, s"$byDom")
+    assert(byDom("b.test").head > byDom("c.test").head, s"$byDom")
+    // re-running the same input is a no-op (nothing pending, no new snapshot)
+    Extract.main(Array(inDir, outDir, "--partitions", "2", "--link-graph"))
+    assert(new graft.sources.ParquetManifestTable(s"$outDir/links")
+      .read(spark).count() == links.size)
+  }
+
   test("--keep-first-spans: the later near-copy is judged on its novel remainder") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_kfs_in").toString

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.HtmlLinks
+
+/** Link-extraction kernel: href scanning rules, RFC-lite resolution,
+  * totality on garbage, and the SQL-registered native expression. */
+class HtmlLinksSpec extends AnyFunSuite {
+
+  private def hrefs(html: String): Vector[String] =
+    HtmlLinks.rawHrefs(html.getBytes("UTF-8"))
+
+  test("rawHrefs: quoted, single-quoted, unquoted; order kept; duplicates kept") {
+    val html =
+      """<a href="/a">x</a><a href='/b'>y</a><a href=/c>z</a>
+        |<a class="k" href="/a">again</a>""".stripMargin
+    assert(hrefs(html) == Vector("/a", "/b", "/c", "/a"))
+  }
+
+  test("rawHrefs: script/style bodies and comments are skipped; close tags and <abbr> are not anchors") {
+    val html =
+      """<script>var s = '<a href="/fake1">';</script>
+        |<style>a[href="/fake2"]{}</style>
+        |<!-- <a href="/fake3"> -->
+        |<abbr href="/fake4">n</abbr></a>
+        |<a target="_b" href="/real">ok</a>""".stripMargin
+    assert(hrefs(html) == Vector("/real"))
+  }
+
+  test("rawHrefs: total on garbage and on anchors with no href") {
+    assert(HtmlLinks.rawHrefs(null) == Vector.empty)
+    assert(hrefs("<a>no href</a><a name=x>still none</a>") == Vector.empty)
+    val junk = Array.tabulate[Byte](4096)(i => ((i * 31 + 7) % 251).toByte)
+    HtmlLinks.rawHrefs(junk) // must not throw
+  }
+
+  test("resolve: absolute, protocol-relative, root-relative, relative with dot segments") {
+    val base = "https://host.example/dir/sub/page.html?q=1"
+    assert(HtmlLinks.resolve(base, "https://other.org/x") == "https://other.org/x")
+    assert(HtmlLinks.resolve(base, "//cdn.example/y") == "https://cdn.example/y")
+    assert(HtmlLinks.resolve(base, "/rooted/z") == "https://host.example/rooted/z")
+    assert(HtmlLinks.resolve(base, "sibling.html") == "https://host.example/dir/sub/sibling.html")
+    assert(HtmlLinks.resolve(base, "../up.html") == "https://host.example/dir/up.html")
+    assert(HtmlLinks.resolve(base, "../../../past-root.html") == "https://host.example/past-root.html")
+    assert(HtmlLinks.resolve(base, "./here.html") == "https://host.example/dir/sub/here.html")
+    assert(HtmlLinks.resolve(base, "a/b/../c.html") == "https://host.example/dir/sub/a/c.html")
+    assert(HtmlLinks.resolve(base, "dir/") == "https://host.example/dir/sub/dir/")
+    assert(HtmlLinks.resolve(base, "?q=2") == "https://host.example/dir/sub/page.html?q=2")
+  }
+
+  test("resolve: fragments strip; non-navigational schemes and unparseable bases are null") {
+    val base = "https://h.example/p/page.html"
+    assert(HtmlLinks.resolve(base, "#top") == null)
+    assert(HtmlLinks.resolve(base, "x.html#frag") == "https://h.example/p/x.html")
+    assert(HtmlLinks.resolve(base, "javascript:void(0)") == null)
+    assert(HtmlLinks.resolve(base, "mailto:a@b.c") == null)
+    assert(HtmlLinks.resolve(base, "data:text/plain,x") == null)
+    assert(HtmlLinks.resolve(base, "tel:+1") == null)
+    assert(HtmlLinks.resolve("not-a-url", "/x") == null)
+    assert(HtmlLinks.resolve(null, "/x") == null)
+    assert(HtmlLinks.resolve(base, null) == null)
+  }
+
+  test("links: PDF payloads yield none (the pipeline dispatch rule); non-http schemes resolve too") {
+    val pdf = "%PDF-1.4 <a href=\"/x\">".getBytes("UTF-8")
+    assert(HtmlLinks.links(pdf, "https://h.example/doc.pdf") == Vector.empty)
+    // the synth corpus's test:// scheme still resolves (scheme-agnostic)
+    val html = "<a href=\"/other\">x</a>".getBytes("UTF-8")
+    assert(HtmlLinks.links(html, "test://crawl/3/page.html") ==
+      Vector("test://crawl/other"))
+  }
+
+  test("html_links is a registered native (SQL path == kernel)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("https://h.example/d/p.html",
+      """<a href="a.html">1</a><script><a href="no"></script><a href="/b">2</a>"""
+        .getBytes("UTF-8"))).toDF("url", "html")
+    df.createOrReplaceTempView("pages")
+    val got = spark.sql("SELECT explode(html_links(url, html)) AS l FROM pages")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("https://h.example/d/a.html", "https://h.example/b"))
+    // plan stays native (no UDF nodes)
+    val plan = spark.sql("SELECT html_links(url, html) FROM pages")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
