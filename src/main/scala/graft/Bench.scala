@@ -231,8 +231,13 @@ object Bench {
     // 3dp detail always lives in BENCH_OUT.json
     val stdoutLine = {
       val at2dp = assemble(qs, "")
+      lazy val at1dp = assemble(qJson(_.takeWhile(_ != '_'), 1), "")
       if (at2dp.length <= 1500) at2dp
-      else assemble(qJson(_.takeWhile(_ != '_'), 1), "")
+      else if (at1dp.length <= 1500) at1dp
+      // last resort: drop the per-query map from stdout entirely rather
+      // than ever risk the tail capture — the driver still gets the
+      // headline metrics, and BENCH_OUT.json always has the full map
+      else assemble("""{"see":"BENCH_OUT.json"}""", "")
     }
     val fileJson = assemble(qJson(identity, 3), s""""query_bands":$qBands,""")
     if (stdoutLine.length > 1500)

@@ -317,17 +317,38 @@ object Extract {
       // snapshot: (url, domain, domain_rank), the crawl-prioritization /
       // mixture-weight signal per page.
       val linksTable = new ParquetManifestTable(s"${a.outRoot}/links", a.tableFormat)
+      // rows carry the source capture's warc_ts: under --recrawl a url's
+      // links exist once PER VERSION, and authority must read only the
+      // CURRENT version's rows (the stale version's edges are history,
+      // and an unchanged re-delivered link must not double-count)
       linksTable.commit(
-        pending.toDF().select(col("url"),
+        pending.toDF().select(col("url"), col("warc_ts"),
           explode(graft.functions.ExtractFunctions.htmlLinks(col("url"), col("html")))
             .as("dst_url")),
         batchId)
-      val docUrls = Resume.currentPerUrl(docsTable.read(spark)).select(col("url"))
-      val docMap = docUrls.select(col("url"),
-        xxhash64(col("url")).as("id"),
-        graft.operators.WebCuration.domainOf(col("url")).as("domain"))
-      val edges = linksTable.read(spark)
-        .join(docUrls.withColumnRenamed("url", "dst_url"), Seq("dst_url"), "left_semi")
+      // extraction coverage guard: batches committed to docs WITHOUT a
+      // links batch mean pages whose out-links were never extracted — they
+      // would silently rank as dangling nodes, so say so loudly
+      val unlinked = docsTable.committedBatches.toSet -- linksTable.committedBatches.toSet
+      if (unlinked.nonEmpty)
+        println(s"""{"job":"graft-extract","warn":"authority: ${unlinked.size} committed doc batches predate --link-graph and contribute no out-links (dangling pages); re-extract them with --link-graph for a complete graph"}""")
+      // ONE materialization: the current-per-url collapse is a full
+      // payload-table aggregate and feeds the edge semi-join, the
+      // domain-authority input AND the rank join-back
+      val docMap = graft.operators.Dedup.checkpointDf(
+        Resume.currentPerUrl(docsTable.read(spark))
+          .select(col("url"), col("warc_ts"),
+            xxhash64(col("url")).as("id"),
+            graft.operators.WebCuration.domainOf(col("url")).as("domain")),
+        reliable = false)
+      // current-version links only (url + warc_ts match, null-safe), then
+      // drop edges whose target is outside the corpus
+      val currentLinks = linksTable.read(spark).alias("l")
+        .join(docMap.select(col("url"), col("warc_ts")).alias("c"),
+          col("l.url") === col("c.url") && col("l.warc_ts") <=> col("c.warc_ts"),
+          "left_semi")
+      val edges = currentLinks
+        .join(docMap.select(col("url").as("dst_url")), Seq("dst_url"), "left_semi")
         .select(xxhash64(col("url")).as("src"), xxhash64(col("dst_url")).as("dst"))
       val authority = graft.operators.LinkGraph
         .domainAuthority(docMap.select(col("id"), col("domain")), edges, iters = 3)

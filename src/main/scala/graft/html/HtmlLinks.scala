@@ -29,16 +29,28 @@ object HtmlLinks {
       if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
     @inline def isWs(b: Byte): Boolean =
       b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    // skip to the tag-closing '>' HONORING QUOTES — a '>' inside a quoted
+    // attribute value must not end the tag, or the rest of the value gets
+    // parsed as markup and fabricates links
+    @inline def skipTag(from: Int): Int = {
+      var j = from
+      while (j < n && html(j) != '>') {
+        if (html(j) == '"' || html(j) == '\'') {
+          val q = html(j); j += 1
+          while (j < n && html(j) != q) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      if (j < n) j + 1 else n
+    }
     var i = 0
     var skipUntil: String = null // inside <script>/<style>: skip to its close tag
     while (i < n) {
       if (html(i) == '<') {
-        if (i + 3 < n && html(i + 1) == '!' && html(i + 2) == '-' && html(i + 3) == '-') {
-          // comment: skip to -->
-          var j = i + 4
-          while (j + 2 < n && !(html(j) == '-' && html(j + 1) == '-' && html(j + 2) == '>')) j += 1
-          i = if (j + 2 < n) j + 3 else n
-        } else if (skipUntil != null) {
+        // NOTE the skipUntil check runs FIRST: '<!--' inside a script body
+        // is script text, not a comment — treating it as one swallows the
+        // rest of the document's links
+        if (skipUntil != null) {
           // inside script/style: only the matching close tag ends the skip
           var j = i + 1
           var matches = j < n && html(j) == '/'
@@ -52,10 +64,14 @@ object HtmlLinks {
             matches = matches && j < n && (isWs(html(j)) || html(j) == '>')
           }
           if (matches) {
-            while (j < n && html(j) != '>') j += 1
             skipUntil = null
-            i = if (j < n) j + 1 else n
+            i = skipTag(j)
           } else i += 1
+        } else if (i + 3 < n && html(i + 1) == '!' && html(i + 2) == '-' && html(i + 3) == '-') {
+          // comment: skip to -->
+          var j = i + 4
+          while (j + 2 < n && !(html(j) == '-' && html(j + 1) == '-' && html(j + 2) == '>')) j += 1
+          i = if (j + 2 < n) j + 3 else n
         } else {
           // tag name
           var j = i + 1
@@ -100,16 +116,54 @@ object HtmlLinks {
                 if (aName == "href" && href == null && value != null) href = value
               }
             }
-            if (href != null) out += href
+            if (href != null) out += decodeEntities(href)
             i = if (j < n) j + 1 else n
           } else {
-            while (j < n && html(j) != '>') j += 1
-            i = if (j < n) j + 1 else n
+            i = skipTag(j)
           }
         }
       } else i += 1
     }
     out.result()
+  }
+
+  /** Decode the HTML entities that legitimately appear in attribute
+    * values — `&amp;` above all: the spec-compliant way to write `&` in an
+    * href, and without decoding it every multi-parameter URL resolves to a
+    * string that can never match a committed corpus url (its edge would
+    * silently vanish from the link graph). Named amp/lt/gt/quot/apos plus
+    * numeric decimal/hex forms; anything unrecognized passes through. */
+  private[html] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Integer =
+          if (semi < 0 || semi > i + 8) null
+          else s.substring(i + 1, semi) match {
+            case "amp" => '&'.toInt
+            case "lt" => '<'.toInt
+            case "gt" => '>'.toInt
+            case "quot" => '"'.toInt
+            case "apos" => '\''.toInt
+            case e if e.length > 1 && e.charAt(0) == '#' =>
+              try {
+                val cp =
+                  if (e.length > 2 && (e.charAt(1) == 'x' || e.charAt(1) == 'X'))
+                    Integer.parseInt(e.substring(2), 16)
+                  else Integer.parseInt(e.substring(1))
+                if (Character.isValidCodePoint(cp)) cp else null
+              } catch { case _: NumberFormatException => null }
+            case _ => null
+          }
+        if (decoded != null) { sb.appendAll(Character.toChars(decoded)); i = semi + 1 }
+        else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** Resolve one href against the page url — RFC-3986-lite: enough for

@@ -52,15 +52,21 @@ object LanguageModel {
     * empty model instead of yielding NULL: an empty model would make
     * `coalesce(bits, oov_bits)` NULL and the summed surprisal silently 0 —
     * a quality gate built on it would pass everything, the exact inversion
-    * of the documented OOV charge. */
-  private def emptyCheckedOov(model: DataFrame, op: String): DataFrame =
-    model.agg((max(col("bits")) + 1L).as("__oov"))
-      .select(when(col("__oov").isNotNull, col("__oov"))
-        .otherwise(raise_error(
-          lit(s"$op: the model is EMPTY (zero rows) — every lookup would " +
-            "be OOV with an undefined charge; train on a non-empty corpus"))
-          .cast("long"))
-        .as("oov_bits"))
+    * of the documented OOV charge. A SELF-TRAINED caller sets
+    * `selfTrained = true` instead: its model is empty exactly when its
+    * scoring set is empty (no OOV lookup can ever happen), and an empty
+    * input must produce an empty output, not a job abort. */
+  private def emptyCheckedOov(model: DataFrame, op: String,
+                              selfTrained: Boolean = false): DataFrame = {
+    val agg = model.agg((max(col("bits")) + 1L).as("__oov"))
+    if (selfTrained) agg.select(coalesce(col("__oov"), lit(0L)).as("oov_bits"))
+    else agg.select(when(col("__oov").isNotNull, col("__oov"))
+      .otherwise(raise_error(
+        lit(s"$op: the model is EMPTY (zero rows) — every lookup would " +
+          "be OOV with an undefined charge; train on a non-empty corpus"))
+        .cast("long"))
+      .as("oov_bits"))
+  }
 
   /** `floor(log2(n))` for n >= 1 as an exact integer: the bit length of n
     * minus one, via the binary-string rendering both engines share
@@ -82,12 +88,16 @@ object LanguageModel {
     * raise_errors on duplicates — copies would silently merge token
     * streams). */
   def surprisalStats(df: DataFrame, idCol: String, textCol: String,
-                     model: DataFrame): DataFrame = {
+                     model: DataFrame): DataFrame =
+    surprisalStatsImpl(df, idCol, textCol, model, selfTrained = false)
+
+  private def surprisalStatsImpl(df: DataFrame, idCol: String, textCol: String,
+                                 model: DataFrame, selfTrained: Boolean): DataFrame = {
     val tfc = TfIdf.termFrequencies(df, idCol, textCol)
       .select(col("id"), md5(col("token")).as("tk"), col("tf"))
     // OOV charge derived from the model itself: 1-row broadcast of
     // max(bits) + 1 == floor(log2(total)) + 1 (cnt = 1 rows carry the max)
-    val oovRow = emptyCheckedOov(model, "LanguageModel.surprisalStats")
+    val oovRow = emptyCheckedOov(model, "LanguageModel.surprisalStats", selfTrained)
     val scored = tfc
       .join(model.select(col("tk"), col("bits")), Seq("tk"), "left")
       .crossJoin(broadcast(oovRow))
@@ -110,7 +120,8 @@ object LanguageModel {
     * scoring frame) — on a large corpus train once, persist the compact
     * model, and call [[surprisalStats]] directly. */
   def selfSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    surprisalStats(df, idCol, textCol, unigramModel(df, idCol, textCol))
+    surprisalStatsImpl(df, idCol, textCol, unigramModel(df, idCol, textCol),
+      selfTrained = true)
 
   /** Train the order-2 model: one row per distinct token BIGRAM with its
     * corpus count and CONDITIONAL surprisal in whole bits,
@@ -171,10 +182,14 @@ object LanguageModel {
     * non-empty tokens (or null text) report (0, 0, 0). Ids must be unique
     * (checked anchor). */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
-                      model: DataFrame): DataFrame = {
+                      model: DataFrame): DataFrame =
+    bigramSurprisalImpl(df, idCol, textCol, model, selfTrained = false)
+
+  private def bigramSurprisalImpl(df: DataFrame, idCol: String, textCol: String,
+                                  model: DataFrame, selfTrained: Boolean): DataFrame = {
     val occ = bigramOccurrences(df, idCol, textCol)
       .groupBy(col("id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-    val oovRow = emptyCheckedOov(model, "LanguageModel.bigramSurprisal")
+    val oovRow = emptyCheckedOov(model, "LanguageModel.bigramSurprisal", selfTrained)
     val scored = occ
       .join(model.select(col("a"), col("b"), col("bits")), Seq("a", "b"), "left")
       .crossJoin(broadcast(oovRow))
@@ -194,7 +209,8 @@ object LanguageModel {
     * possible) — the [[selfSurprisal]] caveat applies: the tokenize pass
     * plans twice, so on a large corpus train once and persist the model. */
   def selfBigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    bigramSurprisal(df, idCol, textCol, bigramModel(df, idCol, textCol))
+    bigramSurprisalImpl(df, idCol, textCol, bigramModel(df, idCol, textCol),
+      selfTrained = true)
 
   /** Collocation mining — the corpus's top-k most ASSOCIATED adjacent
     * token pairs ("strongly glued" phrases: named entities, technical

@@ -403,7 +403,7 @@ class ExtractMainSpec extends AnyFunSuite {
     Extract.main(Array(inDir, outDir, "--partitions", "2", "--link-graph"))
 
     val links = new graft.sources.ParquetManifestTable(s"$outDir/links").read(spark)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect().map(r => (r.getString(0), r.getAs[String]("dst_url"))).toSet
     // relative "/p1.html" on b2 resolves to b's own host; the external link
     // is present in the LINKS table (it is a real out-link) …
     assert(links.contains((u("b", 2), "http://b.test/p1.html")))
@@ -425,6 +425,44 @@ class ExtractMainSpec extends AnyFunSuite {
     Extract.main(Array(inDir, outDir, "--partitions", "2", "--link-graph"))
     assert(new graft.sources.ParquetManifestTable(s"$outDir/links")
       .read(spark).count() == links.size)
+  }
+
+  test("--link-graph + --recrawl: authority reads only the CURRENT version's links") {
+    import spark.implicits._
+    val inDir1 = java.nio.file.Files.createTempDirectory("graft_lgr_in1").toString
+    val inDir2 = java.nio.file.Files.createTempDirectory("graft_lgr_in2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lgr_out").toString
+    def page(url: String, ts: Long, links: Seq[String], words: String): graft.sources.CrawlRow = {
+      val as = links.map(l => s"""<a href="$l">r</a>""").mkString(" ")
+      graft.sources.CrawlRow(url, new java.sql.Timestamp(ts),
+        s"<html><head><title>t</title></head><body><article><p>$words</p>$as</article></body></html>"
+          .getBytes("UTF-8"), "", "en")
+    }
+    val (x, y, z) = ("http://x.test/p1.html", "http://y.test/p1.html", "http://z.test/p1.html")
+    // v1: x links y
+    Seq(page(x, 1000L, Seq(y), "ex body"), page(y, 1000L, Seq.empty, "wy body"),
+        page(z, 1000L, Seq.empty, "zed body"))
+      .toDS().toDF().write.mode("overwrite").parquet(inDir1)
+    Extract.main(Array(inDir1, outDir, "--partitions", "2", "--link-graph"))
+    // v2 recrawl: x changed — now links z instead
+    Seq(page(x, 2000L, Seq(z), "ex body changed"), page(y, 1000L, Seq.empty, "wy body"),
+        page(z, 1000L, Seq.empty, "zed body"))
+      .toDS().toDF().write.mode("overwrite").parquet(inDir2)
+    Extract.main(Array(inDir2, outDir, "--recrawl", inDir1, "--partitions", "2", "--link-graph"))
+
+    // the links TABLE keeps both versions' history…
+    val allLinks = new graft.sources.ParquetManifestTable(s"$outDir/links").read(spark)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(allLinks == Set((x, y), (x, z)), s"$allLinks")
+    // …but authority must see ONLY the current version's edge (x -> z):
+    // z now outranks y, which holds nothing but the teleport base
+    val byDom = new graft.sources.ParquetManifestTable(s"$outDir/authority")
+      .readLatest(spark).collect()
+      .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDom.values.forall(_.size == 1), s"$byDom")
+    assert(byDom("z.test").head > byDom("y.test").head,
+      s"stale v1 edge leaked into authority: $byDom")
   }
 
   test("--keep-first-spans: the later near-copy is judged on its novel remainder") {

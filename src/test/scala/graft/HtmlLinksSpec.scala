@@ -27,6 +27,21 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(hrefs(html) == Vector("/real"))
   }
 
+  test("rawHrefs: entities decode, quoted '>' in other tags doesn't fabricate links, '<!--' in script is script text") {
+    // &amp; is the spec-compliant way to write & in an attribute — without
+    // decoding, multi-parameter urls could never match a corpus url
+    assert(hrefs("""<a href="/p?a=1&amp;b=2&#47;x">t</a>""") == Vector("/p?a=1&b=2/x"))
+    assert(hrefs("""<a href="/q?x=&unknown;1">t</a>""") == Vector("/q?x=&unknown;1"))
+    // a '>' inside a quoted attribute of a NON-anchor tag must not restart
+    // parsing mid-value (that fabricated '/fake' edges before the fix)
+    assert(hrefs("""<div data-tip="see > <a href=/fake>here</a>"></div><a href="/real">x</a>""")
+      == Vector("/real"))
+    // '<!--' inside a script body is script text, not a comment opener —
+    // it must not swallow the anchors after the script closes
+    assert(hrefs("""<script>var re = /<!--/;</script><a href="/after">x</a>""")
+      == Vector("/after"))
+  }
+
   test("rawHrefs: total on garbage and on anchors with no href") {
     assert(HtmlLinks.rawHrefs(null) == Vector.empty)
     assert(hrefs("<a>no href</a><a name=x>still none</a>") == Vector.empty)
