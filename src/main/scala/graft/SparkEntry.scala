@@ -1032,7 +1032,22 @@ object SparkEntry {
     "q88_collocations" -> ((s, dir) =>
       LanguageModel.collocations(t(s, dir, "documents"), "text",
           k = 30, minCount = 3L)
-        .orderBy(col("rnk")))
+        .orderBy(col("rnk"))),
+
+    // per-target anchor-text aggregation (what the web SAYS each page is):
+    // top-3 most frequent anchor texts per target over a deterministic
+    // (dst, anchor) link frame — bounded TopKByScore per dst, never a
+    // window over the target keyspace; h48 tiebreaks are engine-exact
+    "q89_anchor_texts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val an = docs.select(col("doc_id"), col("lang"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+        .select(((col("doc_id") * 31 + col("k") * 17 + 1) % n).as("dst"),
+          concat(col("lang"), lit("-"), (col("doc_id") % 5).cast("string")).as("anchor"))
+      WebCuration.anchorTexts(an, "dst", "anchor", k = 3)
+        .orderBy(col("dst"), col("rnk"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -2181,6 +2196,28 @@ object SparkEntry {
              md5(token_a) ASC, md5(token_b) ASC) AS BIGINT) AS rnk
          FROM scored
          ORDER BY rnk LIMIT 30""",
+
+    // the bounded per-target top-k replayed as the naive per-dst window:
+    // (cnt desc, h48 asc) rank — hash-equality IS the proof the TopKByScore
+    // aggregate + h48 join-back equals the window semantics
+    "q89_anchor_texts" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+         an AS (
+           SELECT (doc_id * 31 + k * 17 + 1) % (SELECT c FROM n) AS dst,
+             lang || '-' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+           FROM documents, unnest([0, 1, 2]) AS u(k)
+         ), c AS (
+           SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt,
+             CAST('0x' || substring(md5(anchor), 1, 12) AS BIGINT) AS h48
+           FROM an GROUP BY dst, anchor
+         ), r AS (
+           SELECT dst, anchor, cnt,
+             CAST(row_number() OVER (PARTITION BY dst
+               ORDER BY cnt DESC, h48 ASC) AS BIGINT) AS rnk
+           FROM c
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, anchor, cnt, rnk
+         FROM r WHERE rnk <= 3 ORDER BY dst, rnk""",
 
     // same shingle space: md5 of the 5-token windows of the single-space
     // split (DuckDB 1-based inclusive slice == the native token_chunks

@@ -40,6 +40,18 @@ object ExtractKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.map(UTF8String.fromString).toArray[Any])
   }
+
+  def htmlAnchors(url: UTF8String, payload: Array[Byte]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (payload == null) return null
+    val out = graft.html.HtmlLinks.anchors(payload,
+      if (url == null) null else url.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map { case (d, t) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(d), UTF8String.fromString(t))
+      }.toArray[Any])
+  }
 }
 
 case class PdfText(child: Expression) extends UnaryExpression {
@@ -105,6 +117,28 @@ case class HtmlLinksExpr(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "html_links"
 }
 
+case class HtmlAnchorsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dst", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"html_anchors requires (string url, binary payload), got ${l.sql} and ${r.sql}")
+    }
+  override protected def nullSafeEval(url: Any, payload: Any): Any =
+    ExtractKernel.htmlAnchors(url.asInstanceOf[UTF8String], payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, p) => s"graft.functions.ExtractKernel.htmlAnchors($u, $p)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HtmlAnchorsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "html_anchors"
+}
+
 /** DataFrame-API handles for the extraction natives (the SketchFunctions
   * convention). */
 object ExtractFunctions {
@@ -112,6 +146,9 @@ object ExtractFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def htmlLinks(url: Column, payload: Column): Column =
     ColumnBridge.column(HtmlLinksExpr(
+      ColumnBridge.expression(url), ColumnBridge.expression(payload)))
+  def htmlAnchors(url: Column, payload: Column): Column =
+    ColumnBridge.column(HtmlAnchorsExpr(
       ColumnBridge.expression(url), ColumnBridge.expression(payload)))
 }
 
@@ -148,6 +185,7 @@ object GraftFunctionSet {
     "html_text" -> (args => HtmlText(arity("html_text", 1)(args).head)),
     "graft_text" -> (args => { val a = arity("graft_text", 2)(args); GraftText(a(0), a(1)) }),
     "html_links" -> (args => { val a = arity("html_links", 2)(args); HtmlLinksExpr(a(0), a(1)) }),
+    "html_anchors" -> (args => { val a = arity("html_anchors", 2)(args); HtmlAnchorsExpr(a(0), a(1)) }),
     "simhash64" -> (args => SimHash64(arity("simhash64", 1)(args).head)),
     "simhash_md5" -> (args => SimHashMd5(arity("simhash_md5", 1)(args).head)),
     "fingerprint_md5" -> (args => FingerprintMd5(arity("fingerprint_md5", 1)(args).head)),

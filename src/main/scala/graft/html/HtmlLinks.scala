@@ -21,9 +21,19 @@ object HtmlLinks {
     * "<a href=..." inside a JS string literal is not a link), comments
     * (`<!-- -->`) likewise. Quoted (either quote) and unquoted attribute
     * values are both honored. */
-  def rawHrefs(html: Array[Byte]): Vector[String] = {
+  def rawHrefs(html: Array[Byte]): Vector[String] = rawAnchors(html).map(_._1)
+
+  /** (raw href, anchor text) pairs of `<a>` tags in document order — the
+    * text is what the LINKING page says the target is (the classic
+    * web-relevance signal and a caption-like training pair). Text =
+    * the bytes between the open tag and the matching `</a>` (or the next
+    * `<a`, or end of input — unclosed anchors are everywhere), with
+    * embedded tags skipped quote-aware, entities decoded, and whitespace
+    * collapsed; an anchor with no visible text yields "". All the
+    * [[rawHrefs]] scanning rules apply (it is this function's projection). */
+  def rawAnchors(html: Array[Byte]): Vector[(String, String)] = {
     if (html == null) return Vector.empty
-    val out = Vector.newBuilder[String]
+    val out = Vector.newBuilder[(String, String)]
     val n = html.length
     @inline def lower(b: Byte): Byte =
       if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
@@ -116,8 +126,32 @@ object HtmlLinks {
                 if (aName == "href" && href == null && value != null) href = value
               }
             }
-            if (href != null) out += decodeEntities(href)
             i = if (j < n) j + 1 else n
+            if (href != null) {
+              // collect the anchor's visible text: bytes outside embedded
+              // tags, until the matching </a>, the NEXT <a (unclosed
+              // anchors are everywhere on the web), or end of input
+              val tb = new java.io.ByteArrayOutputStream()
+              var j2 = i
+              var done = false
+              while (!done && j2 < n) {
+                if (html(j2) == '<') {
+                  val isCloseA = j2 + 2 < n && html(j2 + 1) == '/' &&
+                    lower(html(j2 + 2)) == 'a' &&
+                    (j2 + 3 >= n || isWs(html(j2 + 3)) || html(j2 + 3) == '>')
+                  val isOpenA = j2 + 1 < n && lower(html(j2 + 1)) == 'a' &&
+                    (j2 + 2 >= n || isWs(html(j2 + 2)) || html(j2 + 2) == '>' ||
+                      html(j2 + 2) == '/')
+                  if (isCloseA) { i = skipTag(j2 + 1); done = true }
+                  else if (isOpenA) { i = j2; done = true } // reparse as a new anchor
+                  else { tb.write(' '); j2 = skipTag(j2 + 1) } // embedded tag = separator
+                } else { tb.write(html(j2)); j2 += 1 }
+              }
+              if (!done) i = n
+              val text = decodeEntities(
+                tb.toString("UTF-8").split("\\s+").filter(_.nonEmpty).mkString(" "))
+              out += ((decodeEntities(href), text))
+            }
           } else {
             i = skipTag(j)
           }
@@ -231,4 +265,14 @@ object HtmlLinks {
     if (html == null || graft.operators.ExtractPipeline.isPdf(
         if (baseUrl == null) "" else baseUrl, html)) Vector.empty
     else rawHrefs(html).flatMap(h => Option(resolve(baseUrl, h)))
+
+  /** Resolved (dst url, anchor text) pairs — [[links]] with the linking
+    * text kept. Same dispatch and resolution rules; non-navigational
+    * hrefs drop with their text. */
+  def anchors(html: Array[Byte], baseUrl: String): Vector[(String, String)] =
+    if (html == null || graft.operators.ExtractPipeline.isPdf(
+        if (baseUrl == null) "" else baseUrl, html)) Vector.empty
+    else rawAnchors(html).flatMap { case (h, t) =>
+      Option(resolve(baseUrl, h)).map(r => (r, t))
+    }
 }

@@ -509,6 +509,46 @@ object WebCuration {
         ScorePack.unpackScore(col("p.score")).as("score"))
   }
 
+  /** Per-TARGET anchor-text aggregation — what the web says each page IS:
+    * the k most frequent anchor texts pointing at every target url (the
+    * classic relevance signal, and a caption-like (target, description)
+    * training pair). Input: one row per (dst, anchor-text) LINK occurrence
+    * (e.g. the `html_anchors` explode); output: (dst, anchor, cnt, rnk)
+    * with rnk in 1..k by (cnt desc, h48(anchor) asc) — the md5-prefix
+    * tiebreak, so the order has no string-collation dependence and a
+    * DuckDB replay ranks identically.
+    *
+    * Scale shape: one map-side-combined groupBy on (dst, md5(anchor)) —
+    * one representative string rides each distinct pair; then the per-dst
+    * top-k is the BOUNDED `TopKByScore` aggregate (k slots per dst per
+    * partition map-side), never a row_number window over the dst keyspace
+    * — a page linked by millions of sites costs k slots, not a
+    * single-partition sort. The (score, id) slot carries (cnt, 48-bit
+    * md5 prefix); the text joins back by (dst, h48). Null/empty texts
+    * drop (they say nothing); null dsts drop (no target). */
+  def anchorTexts(df: DataFrame, dstCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"anchorTexts needs k >= 1, got $k")
+    val base = df
+      .select(col(dstCol).as("dst"), col(textCol).as("anchor"))
+      .where(col("dst").isNotNull && col("anchor").isNotNull && col("anchor") =!= "")
+    val counts = base
+      .groupBy(col("dst"), TextAnalysis.md5PrefixLong(col("anchor"), 12).as("h48"))
+      .agg(count(lit(1)).as("cnt"), min(col("anchor")).as("anchor"))
+    // TopKByScore ties break id ASC, and rank wants h48 ASC among equal
+    // counts — the id slot carries h48 directly (48 bits < 2^53: exact in
+    // the double score packing is not even needed; cnt rides the score)
+    val picks = counts
+      .groupBy(col("dst"))
+      .agg(graft.functions.TopKFunctions.topKByScore(
+        col("cnt"), col("h48"), k).as("picks"))
+      .select(col("dst"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("dst"), col("p.id").as("h48"),
+        (col("pos") + 1L).cast("long").as("rnk"))
+    picks.join(counts, Seq("dst", "h48"))
+      .select(col("dst"), col("anchor"), col("cnt"), col("rnk"))
+  }
+
   /** Deterministic per-domain TOKEN-BUDGET selection — the data-mixing
     * primitive: each domain contributes documents in a frozen random order
     * (its docs' 40-bit md5 draws, ties broken by id) until the domain's

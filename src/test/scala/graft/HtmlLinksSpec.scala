@@ -42,6 +42,33 @@ class HtmlLinksSpec extends AnyFunSuite {
       == Vector("/after"))
   }
 
+  test("rawAnchors: visible text with embedded tags as separators; unclosed and nested anchors") {
+    assert(HtmlLinks.rawAnchors("""<a href="/x">Hello <b>big</b> world</a>""".getBytes("UTF-8"))
+      == Vector(("/x", "Hello big world")))
+    assert(HtmlLinks.rawAnchors("""<a href="/e">A &amp; B</a>""".getBytes("UTF-8"))
+      == Vector(("/e", "A & B")))
+    // no visible text -> ""
+    assert(HtmlLinks.rawAnchors("""<a href="/img"><img src=i.png></a>""".getBytes("UTF-8"))
+      == Vector(("/img", "")))
+    // unclosed anchor runs to the next <a (everywhere on the real web)
+    assert(HtmlLinks.rawAnchors("""<a href="/u">first <a href="/v">second</a>""".getBytes("UTF-8"))
+      == Vector(("/u", "first"), ("/v", "second")))
+    // unclosed at end of input
+    assert(HtmlLinks.rawAnchors("""<a href="/t">tail text""".getBytes("UTF-8"))
+      == Vector(("/t", "tail text")))
+    // whitespace collapses
+    assert(HtmlLinks.rawAnchors("<a href=/w>  a \n\t b  </a>".getBytes("UTF-8"))
+      == Vector(("/w", "a b")))
+  }
+
+  test("anchors: resolution applies per pair; PDF payloads yield none") {
+    val html = """<a href="b.html">go</a><a href="#f">frag</a>""".getBytes("UTF-8")
+    assert(HtmlLinks.anchors(html, "https://h.example/d/p.html")
+      == Vector(("https://h.example/d/b.html", "go")))
+    assert(HtmlLinks.anchors("%PDF-1.4 <a href=/x>t</a>".getBytes, "https://h/d.pdf")
+      == Vector.empty)
+  }
+
   test("rawHrefs: total on garbage and on anchors with no href") {
     assert(HtmlLinks.rawHrefs(null) == Vector.empty)
     assert(hrefs("<a>no href</a><a name=x>still none</a>") == Vector.empty)

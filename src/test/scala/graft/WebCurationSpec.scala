@@ -213,6 +213,34 @@ class WebCurationSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql == viaApi)
   }
 
+  test("anchorTexts: per-target top-k by (cnt desc, h48 asc); empty/null drop; k bounds") {
+    import spark.implicits._
+    val an = Seq[(Option[Long], Option[String])](
+      (Some(10L), Some("home")), (Some(10L), Some("home")), (Some(10L), Some("home")),
+      (Some(10L), Some("start")), (Some(10L), Some("start")),
+      (Some(10L), Some("hp")), (Some(10L), Some("main")), (Some(10L), Some("portal")),
+      (Some(20L), Some("")), (Some(20L), None), (Some(20L), Some("solo")),
+      (None, Some("dropped")))
+      .toDF("dst", "anchor")
+    val out = WebCuration.anchorTexts(an, "dst", "anchor", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val d10 = out.filter(_._1 == 10L)
+    assert(d10.length == 3)
+    assert(d10(0) == ((10L, "home", 3L, 1L)))
+    assert(d10(1) == ((10L, "start", 2L, 2L)))
+    // the cnt=1 tie resolves by ascending 48-bit md5 prefix — replay it
+    def h48(s: String) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(12), 16)
+    val tieWinner = Seq("hp", "main", "portal").minBy(h48)
+    assert(d10(2) == ((10L, tieWinner, 1L, 3L)))
+    // empty/null anchors and null dsts say nothing
+    assert(out.filter(_._1 == 20L).toSeq == Seq((20L, "solo", 1L, 1L)))
+    assert(out.length == 4)
+    assertThrows[IllegalArgumentException](
+      WebCuration.anchorTexts(an, "dst", "anchor", k = 0))
+  }
+
   test("capPerDomain: top-k per domain by (score desc, id asc); out-of-range ids loud") {
     val df = Seq(
       (1L, "https://a.com/x", 50L), (2L, "https://a.com/y", 70L),
