@@ -323,8 +323,10 @@ object Extract {
       // and an unchanged re-delivered link must not double-count)
       linksTable.commit(
         pending.toDF().select(col("url"), col("warc_ts"),
-          explode(graft.functions.ExtractFunctions.htmlLinks(col("url"), col("html")))
-            .as("dst_url")),
+          explode(graft.functions.ExtractFunctions.htmlAnchors(col("url"), col("html")))
+            .as("a"))
+          .select(col("url"), col("warc_ts"),
+            col("a.dst").as("dst_url"), col("a.anchor").as("anchor")),
         batchId)
       // extraction coverage guard: batches committed to docs WITHOUT a
       // links batch mean pages whose out-links were never extracted — they
@@ -356,6 +358,17 @@ object Extract {
         .select(col("url"), col("domain"), col("domain_rank"))
       new ParquetManifestTable(s"${a.outRoot}/authority", a.tableFormat)
         .commit(authority, batchId)
+      // what the web SAYS each corpus page is: top-5 anchor texts per
+      // in-corpus target, from the current-version links (bounded
+      // aggregate — a page linked by millions of sites costs 5 slots)
+      val anchorTexts = graft.operators.WebCuration.anchorTexts(
+        currentLinks.join(docMap.select(col("url").as("dst_url")),
+          Seq("dst_url"), "left_semi"),
+        "dst_url", "anchor", k = 5)
+      new ParquetManifestTable(s"${a.outRoot}/anchor_texts", a.tableFormat)
+        .commit(anchorTexts
+          .select(col("dst").as("url"), col("anchor"), col("cnt"), col("rnk")),
+          batchId)
     }
 
     if (a.curate) {

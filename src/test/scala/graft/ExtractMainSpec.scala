@@ -421,6 +421,14 @@ class ExtractMainSpec extends AnyFunSuite {
     // the mass-retaining hub outranks b (one in-link), which outranks c (none)
     assert(byDom("a.test").head > byDom("b.test").head, s"$byDom")
     assert(byDom("b.test").head > byDom("c.test").head, s"$byDom")
+    // the per-target anchor-text snapshot: every in-corpus target page
+    // gets its linkers' texts ("ref" everywhere in this fixture)
+    val anchors = new graft.sources.ParquetManifestTable(s"$outDir/anchor_texts")
+      .readLatest(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(anchors.nonEmpty && anchors.forall(_._2 == "ref"), s"${anchors.toSeq}")
+    assert(anchors.exists(a => a._1 == u("a", 1) && a._3 == 3L),
+      s"a/p1 has three in-links (a2, b1, c2): ${anchors.toSeq}")
     // re-running the same input is a no-op (nothing pending, no new snapshot)
     Extract.main(Array(inDir, outDir, "--partitions", "2", "--link-graph"))
     assert(new graft.sources.ParquetManifestTable(s"$outDir/links")
