@@ -1034,6 +1034,19 @@ object SparkEntry {
           k = 30, minCount = 3L)
         .orderBy(col("rnk"))),
 
+    // TrustRank: the same page graph with teleport restricted to a
+    // trusted seed tenth — spam farms far from any seed decay toward
+    // zero instead of holding a uniform base; same integer arithmetic,
+    // same unrolled oracle template with only the seed predicate swapped
+    "q90_trustrank" -> ((s, dir) => {
+      val (edges, docDomains) = docLinkGraph(s, dir)
+      val ids = docDomains.select(col("id"))
+      LinkGraph.pageRank(edges, ids, iters = 3,
+          teleportSeeds = Some(ids.where(col("id") % 10 === 0)))
+        .select(col("id").as("doc_id"), col("rank_mass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-target anchor-text aggregation (what the web SAYS each page is):
     // top-3 most frequent anchor texts per target over a deterministic
     // (dst, anchor) link frame — bounded TopKByScore per dst, never a
@@ -1173,32 +1186,39 @@ object SparkEntry {
     (edges, docDomains)
   }
 
-  /** The q83/q84 DuckDB replay core: the integer PageRank unrolled from a
-    * SHARED per-iteration SQL template so the rounds — and the two queries
-    * — cannot drift from each other or from the operator's arithmetic.
-    * `prologue` must define CTEs `nodes(id)`, `nNodes(c)` and weighted
-    * `ed(src, dst, od, w)`; `tail` consumes `it3`. Every division has
-    * non-negative operands (floor == truncate in every engine/version)
-    * and every aggregate output is CAST AS BIGINT (DuckDB sum() returns
-    * HUGEINT, which fetchdf renders float). */
+  /** The q83/q84/q86/q90 DuckDB replay core: the integer PageRank
+    * unrolled from a SHARED per-iteration SQL template so the rounds —
+    * and the queries — cannot drift from each other or from the
+    * operator's arithmetic. `prologue` must define CTEs
+    * `nodes(id, seed)` (seed = the teleport set; TRUE everywhere for
+    * classic PageRank) and weighted `ed(src, dst, od, w)`; `tail`
+    * consumes `it3`. Every division has non-negative operands (floor ==
+    * truncate in every engine/version) and every aggregate output is
+    * CAST AS BIGINT (DuckDB sum() returns HUGEINT, which fetchdf renders
+    * float). */
   private def pagerankUnrolledSql(prologue: String, tail: String): String = {
-    val base = "(150000 * (1000000000000 // (SELECT c FROM nNodes))) // 1000000"
+    val base = "(150000 * (1000000000000 // (SELECT c FROM nSeeds))) // 1000000"
     def iter(i: Int, prev: String) =
       s"""c$i AS (SELECT e.dst, CAST(sum((p.r * e.w) // e.od) AS BIGINT) AS s
            FROM ed e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
          it$i AS (SELECT nd.id AS id,
-             $base + (coalesce(c$i.s, 0) * 850000) // 1000000 AS r
+             CASE WHEN nd.seed THEN $base ELSE 0 END
+               + (coalesce(c$i.s, 0) * 850000) // 1000000 AS r
            FROM nodes nd LEFT JOIN c$i ON c$i.dst = nd.id)"""
     s"""WITH $prologue,
+         nSeeds AS (SELECT count(*) AS c FROM nodes WHERE seed),
          r0 AS (SELECT id,
-                  1000000000000 // (SELECT c FROM nNodes) AS r FROM nodes),
+                  CASE WHEN seed
+                       THEN 1000000000000 // (SELECT c FROM nSeeds)
+                       ELSE 0 END AS r
+                FROM nodes),
          ${iter(1, "r0")},
          ${iter(2, "it1")},
          ${iter(3, "it2")}
          $tail"""
   }
 
-  /** The deterministic page-level link graph both q83 and q84 synthesize:
+  /** The deterministic page-level link graph q83/q84/q86/q90 synthesize:
     * 3 out-edges per doc, endpoints mod corpus size. */
   private val docEdgesSql: String =
     """nDocs AS (SELECT count(*) AS c FROM documents),
@@ -1207,13 +1227,24 @@ object SparkEntry {
            (doc_id * 31 + k * 17 + 1) % (SELECT c FROM nDocs) AS dst
          FROM documents, unnest([0, 1, 2]) AS u(k))"""
 
-  private def pagerankOracleSql: String = pagerankUnrolledSql(
+  /** The doc-graph prologue parameterized ONLY on the teleport-seed
+    * predicate: q83 (everyone) and q90 (trusted tenth) share it. */
+  private def docGraphPrologueSql(seedSql: String): String =
     s"""$docEdgesSql,
-       nodes AS (SELECT doc_id AS id FROM documents),
-       nNodes AS (SELECT c FROM nDocs),
+       nodes AS (SELECT doc_id AS id, $seedSql AS seed FROM documents),
        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
        ed AS (SELECT e.src, e.dst, g.od, CAST(1 AS BIGINT) AS w
-              FROM edges e JOIN deg g USING (src))""",
+              FROM edges e JOIN deg g USING (src))"""
+
+  private def pagerankOracleSql: String = pagerankUnrolledSql(
+    docGraphPrologueSql("TRUE"),
+    """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
+       FROM it3 ORDER BY doc_id""")
+
+  /** q90's replay: identical graph, teleport restricted to the trusted
+    * tenth — TrustRank's only delta vs q83 is the seed predicate. */
+  private def trustrankOracleSql: String = pagerankUnrolledSql(
+    docGraphPrologueSql("doc_id % 10 = 0"),
     """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_mass
        FROM it3 ORDER BY doc_id""")
 
@@ -1236,8 +1267,7 @@ object SparkEntry {
                   JOIN dn a ON a.doc_id = e.src
                   JOIN dn b ON b.doc_id = e.dst
                   GROUP BY a.nid, b.nid),
-       nodes AS (SELECT nid AS id FROM nid),
-       nNodes AS (SELECT count(*) AS c FROM nodes),
+       nodes AS (SELECT nid AS id, TRUE AS seed FROM nid),
        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM wedges GROUP BY src),
        ed AS (SELECT e.src, e.dst, g.od, e.w FROM wedges e JOIN deg g USING (src))"""
 
@@ -2351,6 +2381,8 @@ object SparkEntry {
     "q84_domain_authority" -> domainAuthorityOracleSql,
 
     "q86_authority_sample" -> authoritySampleOracleSql,
+
+    "q90_trustrank" -> trustrankOracleSql,
 
     // the bigram replay: raw-adjacent non-empty token pairs, conditional
     // whole-bit surprisal bits(a->b) = floorlog2(cnt(a *)) -

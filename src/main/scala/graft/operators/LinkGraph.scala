@@ -19,10 +19,13 @@ object LinkGraph {
     * truncate in all engine versions; no doubles anywhere, so no
     * summation-order drift).
     *
-    * Formulation: each node starts with `totalMass div n`; per iteration
-    * each node sends `rank div outdeg` along every out-edge and the next
-    * rank is `base + (dampingPpm * inbound_sum) div 1e6` with
-    * `base = ((1e6 - dampingPpm) * (totalMass div n)) div 1e6`. Dangling
+    * Formulation: each SEED node starts with `totalMass div nSeeds`
+    * (without `teleportSeeds` every node is a seed, so this is the classic
+    * `totalMass div n`); per iteration each node sends `rank div outdeg`
+    * along every out-edge and the next rank is
+    * `base_i + (dampingPpm * inbound_sum) div 1e6` with
+    * `base_i = ((1e6 - dampingPpm) * (totalMass div nSeeds)) div 1e6` for
+    * seeds and 0 otherwise (the TrustRank teleport vector). Dangling
     * nodes (no out-edges) simply retire their mass — the standard
     * simplification; total mass is monotonically non-increasing, which
     * also caps every intermediate: inbound sums never exceed `totalMass`,
@@ -56,7 +59,8 @@ object LinkGraph {
                dampingPpm: Long = 850000L,
                totalMass: Long = 1000000000000L,
                reliableCheckpoint: Boolean = false,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               teleportSeeds: Option[DataFrame] = None): DataFrame = {
     val op = "LinkGraph.pageRank"
     require(iters >= 1 && iters <= 1000, s"$op: iters must be in [1, 1000], got $iters")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
@@ -64,10 +68,34 @@ object LinkGraph {
     // dampingPpm * inbound_sum <= 1e6 * totalMass must fit a signed long
     require(totalMass > 0L && totalMass <= Long.MaxValue / 1000000L,
       s"$op: totalMass must be in (0, ${Long.MaxValue / 1000000L}], got $totalMass")
-    val anchor = Dedup.checkedIdAnchor(ids, "id", op)
-    val n = anchor.count()
+    val anchor0 = Dedup.checkedIdAnchor(ids, "id", op)
+    // teleportSeeds: the PERSONALIZED / TrustRank variant — mass teleports
+    // only to the seed set (hand-curated trusted domains), so spam farms
+    // far from any seed decay toward ZERO instead of holding a uniform
+    // base. None = every node is a seed = exactly classic PageRank (one
+    // code path, one arithmetic). Seeds must be unique and drawn from
+    // `ids` (both raise loudly — a silently-dropped seed would skew the
+    // teleport vector).
+    val anchor = teleportSeeds match {
+      case None => anchor0.select(col("id"), lit(true).as("seed"))
+      case Some(s) =>
+        val sd = Dedup.checkedIdAnchor(s, "id", s"$op teleport seeds")
+        val marked = sd.alias("s")
+          .join(anchor0.alias("n"), col("s.id") === col("n.id"), "left")
+          .select(when(col("n.id").isNotNull, col("s.id"))
+            .otherwise(raise_error(concat(
+              lit(s"$op: teleport seed not in ids: "),
+              coalesce(col("s.id").cast("string"), lit("null")))).cast("long"))
+            .as("sid"))
+        anchor0.join(marked, col("id") === col("sid"), "left")
+          .select(col("id"), col("sid").isNotNull.as("seed"))
+    }
+    val counts = anchor.agg(count(lit(1)), count(when(col("seed"), 1))).head()
+    val n = counts.getLong(0)
+    val nSeeds = counts.getLong(1)
     require(n > 0L, s"$op: needs at least one node")
-    val init = totalMass / n
+    require(nSeeds > 0L, s"$op: needs at least one teleport seed")
+    val init = totalMass / nSeeds
     val base = (1000000L - dampingPpm) * init / 1000000L
     val maxW = Long.MaxValue / totalMass
     val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
@@ -87,8 +115,11 @@ object LinkGraph {
     val edgesOd = e.join(deg, Seq("src")).persist()
     try {
       edgesOd.count() // materialize once; reused every iteration
+      val baseCol = when(col("seed"), lit(base)).otherwise(lit(0L))
       var r = Dedup.checkpointDf(
-        anchor.select(col("id"), lit(init).as("r")), reliableCheckpoint)
+        anchor.select(col("id"),
+          when(col("seed"), lit(init)).otherwise(lit(0L)).as("r")),
+        reliableCheckpoint)
       var i = 0
       while (i < iters) {
         val contrib = edgesOd
@@ -98,7 +129,7 @@ object LinkGraph {
         r = Dedup.checkpointDf(
           anchor.join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
             .select(col("id"),
-              (lit(base) +
+              (baseCol +
                 expr(s"coalesce(s, 0L) * ${dampingPpm}L div 1000000L")).as("r")),
           reliableCheckpoint)
         i += 1

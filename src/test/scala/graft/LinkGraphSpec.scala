@@ -47,6 +47,42 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("pageRank teleport seeds: hand-computed trustrank; all-seed == unseeded; guards") {
+    import spark.implicits._
+    // nodes {0, 1}, edge 0 -> 1, seeds {0}, mass 400, damping 0.5:
+    // nSeeds 1 -> init 400, base(0) = 200, base(1) = 0
+    // r0 = (400, 0); it1: 0 sends 400 to 1 -> r = (200, 0 + 200 = 200)
+    // it2: 0 sends 200 -> r = (200, 0 + 100 = 100)
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val ids = Seq(0L, 1L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val out = LinkGraph.pageRank(edges, ids, iters = 2, dampingPpm = 500000L,
+        totalMass = 400L, teleportSeeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 200L, 1L -> 100L), s"got $out")
+    // a non-seed node unreachable from any seed decays to exactly zero
+    val iso = LinkGraph.pageRank(Seq((0L, 1L)).toDF("src", "dst"),
+        Seq(0L, 1L, 2L).toDF("id"), iters = 3, teleportSeeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(2L) == 0L, s"unreachable non-seed must decay to 0: $iso")
+    // everyone-a-seed is bit-identical to the unseeded classic
+    val n = 40L
+    val bigIds = (0L until n).toDF("id")
+    val bigEdges = (0L until n).map(i => (i, (i * 7 + 3) % n)).toDF("src", "dst")
+    val classic = LinkGraph.pageRank(bigEdges, bigIds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allSeed = LinkGraph.pageRank(bigEdges, bigIds, iters = 3,
+        teleportSeeds = Some(bigIds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allSeed == classic)
+    // a seed outside the id universe raises loudly
+    val bad = intercept[Exception] {
+      LinkGraph.pageRank(edges, ids, iters = 1,
+        teleportSeeds = Some(Seq(9L).toDF("id"))).collect()
+    }
+    assert(bad.getMessage.contains("seed not in ids"), bad.getMessage)
+  }
+
   test("pageRank weighted: hand-computed one-iteration values; weight guards") {
     import spark.implicits._
     // 0 -> 1 (w 3), 0 -> 0 (w 1), 1 -> 0 (w 1); mass 400, damping 0.5:
