@@ -311,9 +311,11 @@ object Dedup {
     * exempting the template group from dedup. AQE's skew-join split
     * handles the residual partition-level imbalance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame = {
+                   maxHamming: Int = 3, maxBlock: Long = 0L,
+                   materialize: Boolean = true): DataFrame = {
     simhashPairsOn(df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
-      nBits = 64, maxHamming = maxHamming, maxBlock = maxBlock)
+      nBits = 64, maxHamming = maxHamming, maxBlock = maxBlock,
+      materialize = materialize)
   }
 
   /** Oracle-portable simhash: the same per-bit vote, but the per-token hash
@@ -345,18 +347,26 @@ object Dedup {
     * the native codegen'd SimHashMd5 expression (bit-identical to
     * `simhashMd5Declarative`; SketchExpressionsSpec). */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3, maxBlock: Long = 0L): DataFrame =
+                           maxHamming: Int = 3, maxBlock: Long = 0L,
+                           materialize: Boolean = true): DataFrame =
     simhashPairsOn(df.select(col(idCol).as("id"),
         graft.functions.SketchFunctions.simhashMd5(col(textCol)).as("sh")),
-      nBits = 60, maxHamming = maxHamming, maxBlock = maxBlock)
+      nBits = 60, maxHamming = maxHamming, maxBlock = maxBlock,
+      materialize = materialize)
 
   /** Chunk-blocked hamming pair mining over a precomputed (id, sh) frame:
     * 4 chunks of nBits/4, exact for radius <= 3 by pigeonhole. Only
     * (chunk_idx, chunk, id, sh) rows cross the self-join exchange.
     * Over-popular chunk blocks degrade to star candidates against the
-    * block's min-id row (hamming-verified like every other candidate). */
-  private def simhashPairsOn(hashed: DataFrame, nBits: Int,
-                             maxHamming: Int, maxBlock: Long): DataFrame = {
+    * block's min-id row (hamming-verified like every other candidate).
+    * `materialize` (default true) checkpoints the compact (id, sh) sketch
+    * frame once — both self-join sides (and, with the cap on, the block
+    * stats) otherwise re-run the simhash pass over the full corpus text
+    * per consumer (the materializedSigs rationale; r6). */
+  private def simhashPairsOn(hashed0: DataFrame, nBits: Int,
+                             maxHamming: Int, maxBlock: Long,
+                             materialize: Boolean = true): DataFrame = {
+    val hashed = materialized(hashed0, materialize, reliable = false)
     val chunkBits = nBits / 4
     val mask = (1L << chunkBits) - 1
     val chunked = hashed.select(col("id"), col("sh"),
@@ -449,38 +459,58 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, ids: DataFrame, maxIter: Int = 50,
                           reliableCheckpoint: Boolean = false): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions via ONE explode over the pair frame (r6): the
+    // union-of-two-selects form executed the entire upstream pair-miner
+    // subtree twice inside the first materializing job — the miner is the
+    // expensive part of every CC caller, so this halves that job's work
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     val rounds = Seq.newBuilder[CcRound]
     try {
-      edges.count() // materialize once; reused every round
-
       // Checkpoint the (id, label, changed) state and read back the changed
-      // count as an observed metric; empty frames observe null -> 0 (an
-      // empty id set must yield an empty result, not an NPE). If a
-      // checkpoint mode ever stops reporting metrics, a plain count
-      // fallback keeps correctness.
-      def checkpointWithChanged(df: DataFrame): (DataFrame, Long) = {
+      // count (and row count, for the round-0 ledger entry) as observed
+      // metrics; empty frames observe null -> 0 (an empty id set must yield
+      // an empty result, not an NPE). If a checkpoint mode ever stops
+      // reporting metrics, a plain count fallback keeps correctness.
+      def checkpointWithChanged(df: DataFrame): (DataFrame, Long, Long) = {
         val name = s"cc_changed_${blockMetricSeq.incrementAndGet()}"
-        val obs = df.observe(name, sum(when(col("changed"), 1L).otherwise(0L)).as("n"))
+        val obs = df.observe(name,
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n"),
+          count(lit(1)).as("rows"))
         val ck = checkpointDf(obs, reliableCheckpoint)
-        val n = obs.queryExecution.observedMetrics.get(name) match {
-          case Some(row) => if (row.isNullAt(0)) 0L else row.getLong(0)
-          case None => ck.where(col("changed")).count()
+        obs.queryExecution.observedMetrics.get(name) match {
+          case Some(row) =>
+            (ck, if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+          case None =>
+            (ck, ck.where(col("changed")).count(), ck.count())
         }
-        (ck, n)
       }
 
-      var (labels, frontierN) = checkpointWithChanged(
-        ids.select(col("id"), col("id").cast("long").as("label"), lit(true).as("changed")))
-      var iter = 0
+      // Round 1 FUSED with initialization (r6 optimization): labels start
+      // at label(x) = x, so the first propagation's neighbor minimum is
+      // simply min(dst) per src — no init-labels materialization, no
+      // labels join. Only edge ENDPOINTS ever enter the propagation frame:
+      // a node with no edges keeps label = id through every round by
+      // construction, so it is re-attached once at the end instead of
+      // riding (and being re-checkpointed with) every round's state. The
+      // first round's aggregate also materializes the persisted edge frame
+      // as a side effect — the separate edges.count() job is gone.
+      var (labels, frontierN, nNodes) = checkpointWithChanged(
+        edges.groupBy(col("src")).agg(min(col("dst")).as("nbr_min"))
+          .select(col("src").cast("long").as("id"),
+            least(col("src").cast("long"), col("nbr_min").cast("long")).as("label"),
+            (col("nbr_min").cast("long") < col("src").cast("long")).as("changed")))
+      rounds += CcRound(0, nNodes) // nodes entering propagation
+      var iter = 1
       rounds += CcRound(iter, frontierN)
       while (frontierN > 0 && iter < maxIter) {
         val nbrMin = edges
           .join(labels.where(col("changed")).select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val (next, n) = checkpointWithChanged(labels
+        val (next, n, _) = checkpointWithChanged(labels
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
@@ -497,8 +527,12 @@ object Dedup {
       if (frontierN > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds (component diameter > $maxIter)")
-      labels.select(col("id"), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("is_kept"))
+      // singletons (ids with no edges) never entered propagation: label = id
+      ids.select(col("id"))
+        .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id").cast("long")).as("cluster_id"))
+        .withColumn("is_kept", col("id").cast("long") === col("cluster_id"))
     } finally edges.unpersist()
   }
 
@@ -604,13 +638,20 @@ object Dedup {
                         maxBlock: Long = DefaultMaxBlock,
                         materialize: Boolean = true,
                         reliableCheckpoint: Boolean = false): DataFrame = {
-    val cand = minhashLshCandidates(df, idCol, textCol, shingleWords, k, bands, maxBlock,
-      materialize, reliableCheckpoint)
-    // materialized: the shingle-hash table feeds BOTH verify join-backs
-    val hashes = materialized(
+    // ONE materialized (id, sig, hashes) frame feeds candidate generation
+    // AND both verify join-backs: the fused native kernel computes both
+    // sketches in a single pass over each document (they share the token
+    // scan and the per-shingle base hash), so the corpus text is read and
+    // tokenized once instead of twice and only one checkpoint job runs
+    // (r6 optimization; was two separate materializations)
+    val sk = materialized(
       df.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
+        graft.functions.SketchFunctions
+          .minhashSigShingles(col(textCol), shingleWords, k).as("sk")),
       materialize, reliableCheckpoint)
+    val cand = candidatesFromSigs(
+      sk.select(col("id"), col("sk.sig").as("sig")), k, bands, maxBlock)
+    val hashes = sk.select(col("id"), col("sk.hashes").as("hashes"))
     cand
       .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))

@@ -76,7 +76,13 @@ object LinkGraph {
     // code path, one arithmetic). Seeds must be unique and drawn from
     // `ids` (both raise loudly — a silently-dropped seed would skew the
     // teleport vector).
-    val anchor = teleportSeeds match {
+    // The anchor frame is consumed by the seed-count action, the rank
+    // initialization AND every iteration's rebase join — materialize it
+    // ONCE (r6 optimization): without the checkpoint the whole anchor
+    // subtree (duplicate-id check aggregates plus, for TrustRank, the
+    // two seed-membership joins) re-executed per consumer — measured as
+    // the q90-vs-q83 bench gap, ~(2 + iters) full anchor recomputations.
+    val anchor = Dedup.checkpointDf(teleportSeeds match {
       case None => anchor0.select(col("id"), lit(true).as("seed"))
       case Some(s) =>
         val sd = Dedup.checkedIdAnchor(s, "id", s"$op teleport seeds")
@@ -89,7 +95,7 @@ object LinkGraph {
             .as("sid"))
         anchor0.join(marked, col("id") === col("sid"), "left")
           .select(col("id"), col("sid").isNotNull.as("seed"))
-    }
+    }, reliableCheckpoint)
     val counts = anchor.agg(count(lit(1)), count(when(col("seed"), 1))).head()
     val n = counts.getLong(0)
     val nSeeds = counts.getLong(1)
@@ -112,9 +118,10 @@ object LinkGraph {
           lit(s"$op: edge weights must be in [1, $maxW], got "),
           coalesce(col("w").cast("string"), lit("null")))).cast("boolean")))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("od"))
+    // persisted lazily: iteration 1's contrib join materializes the cache
+    // as part of its own job — the separate count() job is gone (r6)
     val edgesOd = e.join(deg, Seq("src")).persist()
     try {
-      edgesOd.count() // materialize once; reused every iteration
       val baseCol = when(col("seed"), lit(base)).otherwise(lit(0L))
       var r = Dedup.checkpointDf(
         anchor.select(col("id"),
@@ -165,11 +172,17 @@ object LinkGraph {
     val nid = dd.groupBy(col("domain")).agg(min(col("id")).as("nid"))
     // the duplicate-id check rides the anchor join, so BOTH the edge
     // translation and the final per-page output raise on copies
-    val docNode = Dedup.checkedIdAnchor(dd, "id", op)
-      .join(dd.alias("d")
-        .join(broadcast(nid.alias("n")), col("d.domain") <=> col("n.domain"))
-        .select(col("d.id").as("id"), col("d.domain").as("domain"), col("nid")),
-        Seq("id"))
+    // materialized ONCE (r6): docNode feeds both endpoint-translation
+    // joins AND the final per-page output join — without the checkpoint
+    // the id-check aggregate + domain-broadcast join re-executed per
+    // consumer (three doc-cardinality recomputations per call)
+    val docNode = Dedup.checkpointDf(
+      Dedup.checkedIdAnchor(dd, "id", op)
+        .join(dd.alias("d")
+          .join(broadcast(nid.alias("n")), col("d.domain") <=> col("n.domain"))
+          .select(col("d.id").as("id"), col("d.domain").as("domain"), col("nid")),
+          Seq("id")),
+      reliableCheckpoint)
     val idNode = docNode.select(col("id"), col("nid"))
     // translate both endpoints in ONE pass over the edge list
     val de = edges

@@ -235,7 +235,12 @@ object WebCuration {
   def keepFirstSpans(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 13, materialize: Boolean = true,
                      reliableCheckpoint: Boolean = false): DataFrame = {
+    // the shingle identity rides every winner exchange as unhex(md5) —
+    // 16 raw bytes instead of the 32-char hex string (same md5 identity,
+    // injective re-encoding; the key never reaches the output) — halving
+    // the two sh-keyed shuffles' key bytes (r6, guide §2.3 narrower types)
     val occ0 = Decontaminate.shingleOccurrences(df, idCol, textCol, w)
+      .withColumn("sh", unhex(col("sh")))
     val occ = if (materialize) Dedup.checkpointDf(occ0, reliableCheckpoint) else occ0
     val winners = occ.groupBy(col("sh"))
       .agg(min(struct(col("id"), col("pos"))).as("w"))
