@@ -41,10 +41,10 @@ object BenchExtra {
     // fixed-work pure-ALU sentinel: a noisy-host sample is self-identifying
     // (normalize query seconds by sentinel seconds across sessions)
     def sentinel(): Double = {
-      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col => fcol}
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col => fcol}
       val t0 = System.nanoTime()
       spark.range(0L, 400000000L, 1L, cpus)
-        .select(fsum(xxhash64(fcol("id")))).collect()
+        .select(bit_xor(xxhash64(fcol("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }
     sentinel() // warm

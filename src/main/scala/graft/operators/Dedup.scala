@@ -696,12 +696,24 @@ object Dedup {
                                  materialize: Boolean = true,
                                  reliableCheckpoint: Boolean = false): DataFrame = {
     val keys = Seq("band_idx", "band_hash")
-    def banded(src: DataFrame): DataFrame =
-      materializedSigs(src, idCol, textCol, shingleWords, k, materialize, reliableCheckpoint)
-        .select(col("id"),
-          posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
-    val bandedL = banded(left)
-    val bandedR = banded(right)
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"),
+        posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
+    val bandedL = banded(
+      materializedSigs(left, idCol, textCol, shingleWords, k, materialize, reliableCheckpoint))
+    // the RIGHT (benchmark) side materializes ONE fused (id, sig, hashes)
+    // frame (r6): its band keys AND its verify shingle arrays both read
+    // from a single checkpoint, so the benchmark text is tokenized once
+    // and one checkpoint job runs instead of two. The LEFT side keeps the
+    // sigs-only materialization deliberately: persisting corpus-side
+    // shingle arrays is exactly the corpus-scale checkpoint write this
+    // miner is documented to avoid — its hashes stay a map-side pass.
+    val skR = materialized(
+      right.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions
+          .minhashSigShingles(col(textCol), shingleWords, k).as("sk")),
+      materialize, reliableCheckpoint)
+    val bandedR = banded(skR.select(col("id"), col("sk.sig").as("sig")))
     val rightRows =
       if (maxBlock <= 0) bandedR
       else {
@@ -736,8 +748,7 @@ object Dedup {
     // broadcasts the candidate set)
     val shA = shingles(left, mat = false)
       .select(col("id").as("__ida"), col("hashes").as("sh_a"))
-    val shB = shingles(right, materialize)
-      .select(col("id").as("__idb"), col("hashes").as("sh_b"))
+    val shB = skR.select(col("id").as("__idb"), col("sk.hashes").as("sh_b"))
     cand
       .join(shA, col("id_a") <=> col("__ida")).drop("__ida")
       .join(shB, col("id_b") <=> col("__idb")).drop("__idb")

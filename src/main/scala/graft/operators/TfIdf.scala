@@ -72,10 +72,13 @@ object TfIdf {
     require(maxDfPpm > 0 && maxDfPpm <= 1000000L,
       s"maxDfPpm must lie in (0, 1000000], got $maxDfPpm")
     val tf = termFrequencies(df, idCol, textCol)
-    // compact space: strings dropped before ANY exchange. The semi join
-    // against the checked anchor makes duplicate ids loud (copies would
-    // inflate df counts and interleave in the per-doc ranking)
-    val tfc0 = tf.select(col("id"), md5(col("token")).as("tk"), col("tf"))
+    // compact space: strings dropped before ANY exchange, and the md5
+    // identity rides as 16 raw bytes (unhex) rather than the 32-char hex
+    // string — same identity, half the key bytes on every counting and
+    // ranking exchange (r6, guide §2.3). The semi join against the
+    // checked anchor makes duplicate ids loud (copies would inflate df
+    // counts and interleave in the per-doc ranking)
+    val tfc0 = tf.select(col("id"), unhex(md5(col("token"))).as("tk"), col("tf"))
       .join(Dedup.checkedIdAnchor(df, idCol, "TfIdf.distinctiveTerms"), Seq("id"), "left_semi")
     val tfc = if (materialize) Dedup.checkpointDf(tfc0, reliableCheckpoint) else tfc0
     // tf has one row per distinct (doc, token) => count(*) IS the doc freq
@@ -95,7 +98,7 @@ object TfIdf {
     // assembly: recover token strings by (id, md5) — the single
     // string-carrying exchange, and it IS the output
     winners
-      .join(tf.select(col("id"), md5(col("token")).as("tk"), col("token")), Seq("id", "tk"))
+      .join(tf.select(col("id"), unhex(md5(col("token"))).as("tk"), col("token")), Seq("id", "tk"))
       .select(col("id"), col("rnk"), col("token"), col("tf"), col("df"))
   }
 
@@ -117,7 +120,7 @@ object TfIdf {
                      maxDf: Long = 1L): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val tfc = termFrequencies(df, idCol, textCol)
-      .select(col("id"), md5(col("token")).as("tk"), col("tf"))
+      .select(col("id"), unhex(md5(col("token"))).as("tk"), col("tf"))
     val dfreq = tfc.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val stats = tfc.join(dfreq, Seq("tk"))
       .groupBy(col("id"))
