@@ -38,6 +38,21 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // GRAFT_JOBS=1: per-job wall times for the final rep of each query —
+    // pinpoints which materialization/action a multi-job operator spends
+    // its time in (measurement-only; the frozen bench has no such hook)
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int)]()
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    if (sys.env.get("GRAFT_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStarts.remove(j.jobId)
+          if (t0 != 0L) jobLog.add((j.jobId, System.nanoTime() - t0, 0))
+        }
+      })
+
     // fixed-work pure-ALU sentinel: a noisy-host sample is self-identifying
     // (normalize query seconds by sentinel seconds across sessions)
     def sentinel(): Double = {
@@ -75,6 +90,13 @@ object BenchExtra {
           Seq(-1.0)
         }
       println(s"[bench-extra-samples] $name " + raw.map(s => f"$s%.3f").mkString(" "))
+      if (sys.env.get("GRAFT_JOBS").contains("1")) {
+        jobLog.clear(); jobStarts.clear()
+        once() // one extra profiled rep
+        val jobs = jobLog.toArray(Array.empty[(Int, Long, Int)]).sortBy(_._1)
+        println(s"[bench-extra-jobs] $name n=${jobs.length} " +
+          jobs.map { case (id, ns, _) => f"j$id=${ns / 1e9}%.2f" }.mkString(" "))
+      }
       val samples = raw.sorted
       spark.sparkContext.setJobDescription(null)
       val best = samples.head

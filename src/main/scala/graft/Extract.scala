@@ -188,9 +188,16 @@ object Extract {
               .agg(max(col("warc_ts")).as("__its"))
             val committedTs = docsTable.read(spark).groupBy(col("url"))
               .agg(max(col("warc_ts")).as("__cts"))
-            urlStatus.join(inputTs, Seq("url"))
-              .join(committedTs, Seq("url"), "left")
-              .select(col("url"),
+            // null-safe joins (r6, ADVICE fix): the null-url group must
+            // survive into `decision` (with __work=true — no committed ts
+            // can match it) so those rows reach pending0 and the loud
+            // null-url accounting below, exactly as the empty-table branch
+            // and the inline comment promise; equality keys silently
+            // dropped the group and lost the warning
+            urlStatus.alias("__u")
+              .join(inputTs.alias("__i"), col("__u.url") <=> col("__i.url"))
+              .join(committedTs.alias("__c"), col("__u.url") <=> col("__c.url"), "left")
+              .select(col("__u.url").as("url"),
                 (col("__cts").isNull ||
                   (col("__ch") === 1 && col("__its") > col("__cts"))).as("__work"),
                 // changed content but a NULL input ts cannot beat any

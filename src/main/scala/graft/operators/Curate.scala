@@ -128,23 +128,40 @@ object Curate {
         // LHS) and the analysis gate is interpreted-HOF work — the same
         // re-execution the stage-2 `uniq` checkpoint exists to prevent
         val g0 = Dedup.checkpointDf(gated0, reliableCheckpoint)
-        val keep = LanguageModel
+        // anti against the (small) over-cap set rather than semi against
+        // the (corpus-sized) survivor set (r6, guide §3.1): the scoring
+        // frame covers every g0 id with a non-null mean (null-text docs
+        // report 0), so the complement is exact
+        val drop = LanguageModel
           .selfSurprisal(g0.select(col("doc_id"), col("text")), "doc_id", "text")
-          .where(col("mean_bits_x100") <= maxMeanBitsX100)
+          .where(col("mean_bits_x100") > maxMeanBitsX100)
           .select(col("id").as("doc_id"))
-        g0.join(keep, Seq("doc_id"), "left_semi")
+        g0.join(drop, Seq("doc_id"), "left_anti")
       }
 
-    // 2. exact dedup: keep the smallest id per distinct text
-    val keepExact = gated
+    // 2. exact dedup: keep the smallest id per distinct text. Joined as an
+    // ANTI against the exact-dup LOSERS rather than a semi against the
+    // (corpus-sized) keeper set (r6, guide §3.1): the loser set is bounded
+    // by the duplicate volume — tiny on a real crawl — so AQE broadcasts
+    // it and the corpus side never shuffles by id; the md5-keyed loser
+    // mining joins the corpus map-side against the (dup-groups-only) min
+    // frame. Identical survivors: every gated doc is either its group's
+    // min id (kept) or a loser (dropped); gated text is non-null (the
+    // quality gate evaluates null to null), so md5 keys never null-drop.
+    val dupMins = gated
       .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .select(col("text_md5"), col("keep_id"))
+    val losers = gated.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(dupMins, Seq("text_md5"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
     // the survivor set feeds candidate generation, the verify join-back,
     // the CC seed AND the final select — materialize it once instead of
     // re-running the (interpreted-HOF) analysis gate per consumer
     val uniq = Dedup.checkpointDf(
-      gated.join(keepExact, Seq("doc_id"), "left_semi"), reliableCheckpoint)
+      gated.join(losers, Seq("doc_id"), "left_anti"), reliableCheckpoint)
 
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
     // (reliableCheckpoint forwarded: the miner's internal materialization
@@ -165,17 +182,24 @@ object Curate {
     // discards the boilerplate-laden copies instead of whichever crawled
     // first. Exact copies collapsed at stage 2 share one quality score,
     // so the two policies only diverge on genuine near-dups.
+    // survivor join flipped to an ANTI against the near-dup LOSERS (r6,
+    // guide §3.1): most documents are singleton clusters and keep
+    // themselves, so the kept set is corpus-sized while the dropped set is
+    // bounded by the duplicate volume — anti-joining the tiny side lets
+    // AQE broadcast it and the survivor frame never shuffles by id.
+    // Equivalent because every uniq doc_id appears in `clusters` (the CC
+    // id universe IS uniq): kept = not-dropped.
     val kept0 =
       if (!qualityReps)
         uniq.join(
-          clusters.where(col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+          clusters.where(!col("is_kept")).select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
       else {
-        val reps = Dedup.clusterRepresentatives(
+        val nonReps = Dedup.clusterRepresentatives(
             uniq.select(col("doc_id"), col("quality_i4"))
               .join(clusters.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id")),
             "doc_id", "cluster_id", "quality_i4")
-          .where(col("is_rep") === 1).select(col("id").as("doc_id"))
-        uniq.join(reps, Seq("doc_id"), "left_semi")
+          .where(col("is_rep") === 0).select(col("id").as("doc_id"))
+        uniq.join(nonReps, Seq("doc_id"), "left_anti")
       }
 
     // 3b. optional test-set decontamination, AFTER dedup (fewer docs to

@@ -581,20 +581,29 @@ object Dedup {
     def same(a: DataFrame, b: DataFrame, aCount: Long, bCount: Long): Boolean =
       aCount == bCount && a.except(b).head(1).isEmpty
 
-    var edges = checkpointDf(
-      canon(pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))),
-      reliableCheckpoint)
-    var count = edges.count()
+    // each round's edge count rides its checkpoint materialization as an
+    // observed metric (r6): one job per round instead of checkpoint+count
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val name = s"cc_stars_${blockMetricSeq.incrementAndGet()}"
+      val obs = df.observe(name, count(lit(1)).as("rows"))
+      val ck = checkpointDf(obs, reliableCheckpoint)
+      val n = obs.queryExecution.observedMetrics.get(name) match {
+        case Some(row) => row.getLong(0)
+        case None => ck.count()
+      }
+      (ck, n)
+    }
+    var (edges, cnt) = ckptCounted(
+      canon(pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))))
     var iter = 0
     val rounds = Seq.newBuilder[CcRound]
-    rounds += CcRound(iter, count)
-    var converged = count == 0L
+    rounds += CcRound(iter, cnt)
+    var converged = cnt == 0L
     while (!converged && iter < maxIter) {
-      val next = checkpointDf(smallStar(largeStar(edges)), reliableCheckpoint)
-      val nextCount = next.count()
-      converged = same(next, edges, nextCount, count)
+      val (next, nextCount) = ckptCounted(smallStar(largeStar(edges)))
+      converged = same(next, edges, nextCount, cnt)
       edges = next
-      count = nextCount
+      cnt = nextCount
       iter += 1
       rounds += CcRound(iter, if (converged) 0L else nextCount)
     }

@@ -82,23 +82,37 @@ object LinkGraph {
     // subtree (duplicate-id check aggregates plus, for TrustRank, the
     // two seed-membership joins) re-executed per consumer — measured as
     // the q90-vs-q83 bench gap, ~(2 + iters) full anchor recomputations.
-    val anchor = Dedup.checkpointDf(teleportSeeds match {
+    val anchorPlan = teleportSeeds match {
       case None => anchor0.select(col("id"), lit(true).as("seed"))
       case Some(s) =>
         val sd = Dedup.checkedIdAnchor(s, "id", s"$op teleport seeds")
+        // null-safe membership end to end (r6, ADVICE fix): a legitimate
+        // null-id node named in the seed set must match — both the
+        // membership check and the flag join use <=>, and matched-ness
+        // rides an explicit marker column (a null seed id can't carry it)
         val marked = sd.alias("s")
-          .join(anchor0.alias("n"), col("s.id") === col("n.id"), "left")
-          .select(when(col("n.id").isNotNull, col("s.id"))
+          .join(anchor0.select(col("id"), lit(true).as("__in")).alias("n"),
+            col("s.id") <=> col("n.id"), "left")
+          .select(when(col("n.__in"), col("s.id"))
             .otherwise(raise_error(concat(
               lit(s"$op: teleport seed not in ids: "),
               coalesce(col("s.id").cast("string"), lit("null")))).cast("long"))
-            .as("sid"))
-        anchor0.join(marked, col("id") === col("sid"), "left")
-          .select(col("id"), col("sid").isNotNull.as("seed"))
-    }, reliableCheckpoint)
-    val counts = anchor.agg(count(lit(1)), count(when(col("seed"), 1))).head()
-    val n = counts.getLong(0)
-    val nSeeds = counts.getLong(1)
+            .as("sid"), lit(true).as("__seed"))
+        anchor0.join(marked, col("id") <=> col("sid"), "left")
+          .select(col("id"), col("__seed").isNotNull.as("seed"))
+    }
+    // the node/seed counts ride the checkpoint materialization as observed
+    // metrics (r6): one action materializes the anchor AND yields both
+    // counts — the separate counting head() job is gone
+    val cName = s"pr_counts_${Dedup.nextMetricSeq()}"
+    val anchorObs = anchorPlan.observe(cName,
+      count(lit(1)).as("n"), count(when(col("seed"), 1)).as("nSeeds"))
+    val anchor = Dedup.checkpointDf(anchorObs, reliableCheckpoint)
+    val (n, nSeeds) = anchorObs.queryExecution.observedMetrics.get(cName) match {
+      case Some(row) => (row.getLong(0), row.getLong(1))
+      case None =>
+        (anchor.count(), anchor.where(col("seed")).count())
+    }
     require(n > 0L, s"$op: needs at least one node")
     require(nSeeds > 0L, s"$op: needs at least one teleport seed")
     val init = totalMass / nSeeds

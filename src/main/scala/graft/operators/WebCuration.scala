@@ -537,9 +537,17 @@ object WebCuration {
     val base = df
       .select(col(dstCol).as("dst"), col(textCol).as("anchor"))
       .where(col("dst").isNotNull && col("anchor").isNotNull && col("anchor") =!= "")
+    // group by the FULL md5 for identity (r6, ADVICE fix): two distinct
+    // anchors colliding on the 48-bit prefix must not merge their counts
+    // under min(anchor) — the 128-bit key matches the oracle's full-anchor
+    // groups; h48 derives from the same md5 and serves ONLY as the
+    // ranking/top-k slot (both engines rank by (cnt desc, h48 asc), so a
+    // prefix collision AT EQUAL COUNTS leaves the same ~2^-48 rank
+    // ambiguity in each — documented trade-off of the 48-bit slot).
     val counts = base
-      .groupBy(col("dst"), TextAnalysis.md5PrefixLong(col("anchor"), 12).as("h48"))
+      .groupBy(col("dst"), md5(col("anchor")).as("am"))
       .agg(count(lit(1)).as("cnt"), min(col("anchor")).as("anchor"))
+      .withColumn("h48", conv(substring(col("am"), 1, 12), 16, 10).cast("long"))
     // TopKByScore ties break id ASC, and rank wants h48 ASC among equal
     // counts — the id slot carries h48 directly (48 bits < 2^53: exact in
     // the double score packing is not even needed; cnt rides the score)
