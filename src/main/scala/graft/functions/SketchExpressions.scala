@@ -183,24 +183,22 @@ object SketchKernel {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
-  /** Fused [[minhashSignature]] + [[shingleHashes]] in ONE pass: both
-    * sketches share the token-boundary scan and the per-shingle base hash
-    * (the signature's h1/h2 derive from exactly the hash the distinct
-    * list stores), so computing them together halves the tokenize+hash
-    * work AND lets the pair miners materialize one (id, sig, hashes)
-    * frame instead of two — one checkpoint job, one pass over the corpus
-    * text instead of two (r6 optimization; bit-identical to the two
-    * separate kernels, asserted in SketchExpressionsSpec). Returns a
-    * struct row (sig: array<long>, hashes: array<long>). */
-  def minhashSigShingles(s: UTF8String, shingleWords: Int, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    val n = s.numBytes
-    val starts = tokenStarts(s)
-    val nTokens = starts.length - 1
-
+  /** MinHash signature computed FROM a distinct shingle-hash array —
+    * bit-identical to [[minhashSignature]] over the same text, because
+    * the signature's per-shingle h1/h2 derive from exactly the base hash
+    * [[shingleHashes]] stores, and a min over occurrences equals the min
+    * over distinct values (idempotence). This lets the pair miners
+    * materialize ONLY the (id, hashes) frame — one checkpoint job, one
+    * tokenize pass — and re-derive band signatures map-side from the
+    * stored hashes where needed (r6 optimization; parity asserted in
+    * SketchExpressionsSpec). */
+  def minhashSigFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
-
-    @inline def mix(base: Long): Unit = {
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
       val h1 = XXH64.hashInt(1, base)
       val h2 = XXH64.hashInt(2, base)
       var j = 1
@@ -209,28 +207,9 @@ object SketchKernel {
         if (v < sig(j - 1)) sig(j - 1) = v
         j += 1
       }
+      i += 1
     }
-
-    val hashes: Array[Long] =
-      if (nTokens < shingleWords) {
-        val base = hashRange(s, 0, n)
-        mix(base)
-        Array(base)
-      } else {
-        val seen = new java.util.HashSet[java.lang.Long]()
-        val buf = new Array[Long](nTokens - shingleWords + 1)
-        var m = 0
-        var a = 0
-        while (a + shingleWords <= nTokens) {
-          val base = hashRange(s, starts(a), starts(a + shingleWords) - 1 - starts(a))
-          if (seen.add(base)) { buf(m) = base; m += 1 }
-          mix(base)
-          a += 1
-        }
-        if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
-      }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](new GenericArrayData(sig), new GenericArrayData(hashes)))
+    new GenericArrayData(sig)
   }
 
   /** Overlapping token-window chunks over the whitespace tokens: chunk i
@@ -725,22 +704,20 @@ case class MinHashSig(child: Expression, shingleWords: Int, k: Int) extends Unar
   override def prettyName: String = "minhash_sig"
 }
 
-case class MinHashSigShingles(child: Expression, shingleWords: Int, k: Int) extends UnaryExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("sig",
-      ArrayType(LongType, containsNull = false), nullable = false),
-    org.apache.spark.sql.types.StructField("hashes",
-      ArrayType(LongType, containsNull = false), nullable = false)))
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"minhash_sig_shingles requires string input, got ${child.dataType.sql}")
+case class MinHashSigFromHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_from_hashes requires array<bigint> input, got ${t.sql}")
+  }
   override protected def nullSafeEval(input: Any): Any =
-    SketchKernel.minhashSigShingles(input.asInstanceOf[UTF8String], shingleWords, k)
+    SketchKernel.minhashSigFromHashes(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SketchKernel.minhashSigShingles($c, $shingleWords, $k)")
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigShingles = copy(child = newChild)
-  override def prettyName: String = "minhash_sig_shingles"
+      s"graft.functions.SketchKernel.minhashSigFromHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes = copy(child = newChild)
+  override def prettyName: String = "minhash_sig_from_hashes"
 }
 
 case class ShingleHashes(child: Expression, shingleWords: Int) extends UnaryExpression {
@@ -949,8 +926,8 @@ object SketchFunctions {
     ColumnBridge.column(FingerprintMd5(ColumnBridge.expression(c)))
   def shingleHashes(c: Column, shingleWords: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), shingleWords))
-  def minhashSigShingles(c: Column, shingleWords: Int, k: Int): Column =
-    ColumnBridge.column(MinHashSigShingles(ColumnBridge.expression(c), shingleWords, k))
+  def minhashSigFromHashes(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigFromHashes(ColumnBridge.expression(c), k))
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def tokenChunks(c: Column, size: Int, stride: Int): Column =

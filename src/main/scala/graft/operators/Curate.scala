@@ -139,29 +139,21 @@ object Curate {
         g0.join(drop, Seq("doc_id"), "left_anti")
       }
 
-    // 2. exact dedup: keep the smallest id per distinct text. Joined as an
-    // ANTI against the exact-dup LOSERS rather than a semi against the
-    // (corpus-sized) keeper set (r6, guide §3.1): the loser set is bounded
-    // by the duplicate volume — tiny on a real crawl — so AQE broadcasts
-    // it and the corpus side never shuffles by id; the md5-keyed loser
-    // mining joins the corpus map-side against the (dup-groups-only) min
-    // frame. Identical survivors: every gated doc is either its group's
-    // min id (kept) or a loser (dropped); gated text is non-null (the
-    // quality gate evaluates null to null), so md5 keys never null-drop.
-    val dupMins = gated
+    // 2. exact dedup: keep the smallest id per distinct text. (An r6
+    // experiment mined the tiny loser set and anti-joined it — removing
+    // the id-keyed sort-merge join — but the loser mining costs a THIRD
+    // full gates pass over the corpus before the checkpoint, and the
+    // interleaved A/B measured that pass outweighing the join saved;
+    // the two-pass semi-join form stays.)
+    val keepExact = gated
       .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .where(col("n_copies") > 1)
-      .select(col("text_md5"), col("keep_id"))
-    val losers = gated.select(col("doc_id"), md5(col("text")).as("text_md5"))
-      .join(dupMins, Seq("text_md5"))
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
     // the survivor set feeds candidate generation, the verify join-back,
     // the CC seed AND the final select — materialize it once instead of
     // re-running the (interpreted-HOF) analysis gate per consumer
     val uniq = Dedup.checkpointDf(
-      gated.join(losers, Seq("doc_id"), "left_anti"), reliableCheckpoint)
+      gated.join(keepExact, Seq("doc_id"), "left_semi"), reliableCheckpoint)
 
     // 3. near-dup clusters: LSH candidates -> exact verify -> components
     // (reliableCheckpoint forwarded: the miner's internal materialization

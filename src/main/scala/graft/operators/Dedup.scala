@@ -647,20 +647,24 @@ object Dedup {
                         maxBlock: Long = DefaultMaxBlock,
                         materialize: Boolean = true,
                         reliableCheckpoint: Boolean = false): DataFrame = {
-    // ONE materialized (id, sig, hashes) frame feeds candidate generation
-    // AND both verify join-backs: the fused native kernel computes both
-    // sketches in a single pass over each document (they share the token
-    // scan and the per-shingle base hash), so the corpus text is read and
-    // tokenized once instead of twice and only one checkpoint job runs
-    // (r6 optimization; was two separate materializations)
-    val sk = materialized(
+    // ONE materialized (id, hashes) frame feeds candidate generation AND
+    // both verify join-backs (r6 optimization; was two materializations —
+    // sigs AND hashes — i.e. two checkpoint jobs and two tokenize passes):
+    // the minhash signature derives map-side from the stored distinct
+    // shingle hashes (min over occurrences == min over distinct values;
+    // the per-shingle h1/h2 come from exactly the stored base hash —
+    // parity-asserted), so the corpus text is tokenized once, one
+    // checkpoint job runs, and the checkpoint stores only the hash
+    // arrays (an RDD scan cannot column-prune, so a combined sig+hashes
+    // row would be fully decoded by every consumer).
+    val hashes = materialized(
       df.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions
-          .minhashSigShingles(col(textCol), shingleWords, k).as("sk")),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
       materialize, reliableCheckpoint)
     val cand = candidatesFromSigs(
-      sk.select(col("id"), col("sk.sig").as("sig")), k, bands, maxBlock)
-    val hashes = sk.select(col("id"), col("sk.hashes").as("hashes"))
+      hashes.select(col("id"),
+        graft.functions.SketchFunctions.minhashSigFromHashes(col("hashes"), k).as("sig")),
+      k, bands, maxBlock)
     cand
       .join(hashes.select(col("id").as("id_a"), col("hashes").as("sh_a")), Seq("id_a"))
       .join(hashes.select(col("id").as("id_b"), col("hashes").as("sh_b")), Seq("id_b"))
@@ -708,21 +712,26 @@ object Dedup {
     def banded(sigs: DataFrame): DataFrame =
       sigs.select(col("id"),
         posexplode(lshBands(col("sig"), k, bands)).as(Seq("band_idx", "band_hash")))
+    // the LEFT (corpus) side materializes NOTHING (r6): its banded frame
+    // feeds exactly ONE join (unlike the self-join miner, where the sig
+    // table feeds both sides), so a checkpoint only adds a corpus-scale
+    // write — bands are computed map-side straight off the text, and the
+    // verify shingle pass stays map-side too (the documented no-corpus-
+    // checkpoint discipline of this miner).
     val bandedL = banded(
-      materializedSigs(left, idCol, textCol, shingleWords, k, materialize, reliableCheckpoint))
-    // the RIGHT (benchmark) side materializes ONE fused (id, sig, hashes)
-    // frame (r6): its band keys AND its verify shingle arrays both read
-    // from a single checkpoint, so the benchmark text is tokenized once
-    // and one checkpoint job runs instead of two. The LEFT side keeps the
-    // sigs-only materialization deliberately: persisting corpus-side
-    // shingle arrays is exactly the corpus-scale checkpoint write this
-    // miner is documented to avoid — its hashes stay a map-side pass.
+      left.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhashSig(col(textCol), shingleWords, k).as("sig")))
+    // the RIGHT (benchmark) side materializes ONE (id, hashes) frame: its
+    // band signatures derive map-side from the stored distinct hashes
+    // (parity-asserted idempotence argument in ngramJaccardPairs), so the
+    // benchmark text is tokenized once and one checkpoint job runs
+    // instead of two.
     val skR = materialized(
       right.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions
-          .minhashSigShingles(col(textCol), shingleWords, k).as("sk")),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), shingleWords).as("hashes")),
       materialize, reliableCheckpoint)
-    val bandedR = banded(skR.select(col("id"), col("sk.sig").as("sig")))
+    val bandedR = banded(skR.select(col("id"),
+      graft.functions.SketchFunctions.minhashSigFromHashes(col("hashes"), k).as("sig")))
     val rightRows =
       if (maxBlock <= 0) bandedR
       else {
@@ -757,7 +766,7 @@ object Dedup {
     // broadcasts the candidate set)
     val shA = shingles(left, mat = false)
       .select(col("id").as("__ida"), col("hashes").as("sh_a"))
-    val shB = skR.select(col("id").as("__idb"), col("sk.hashes").as("sh_b"))
+    val shB = skR.select(col("id").as("__idb"), col("hashes").as("sh_b"))
     cand
       .join(shA, col("id_a") <=> col("__ida")).drop("__ida")
       .join(shB, col("id_b") <=> col("__idb")).drop("__idb")

@@ -55,27 +55,27 @@ class SketchExpressionsSpec extends AnyFunSuite {
     }
   }
 
-  test("fused minhash_sig_shingles == (minhash_sig, shingle_hashes) on all documents + edge cases") {
-    // the r6 one-pass kernel must be bit-identical to the two separate
-    // natives it replaces in the pair miners' materialized sketch frame
+  test("minhash_sig_from_hashes(shingle_hashes) == minhash_sig on all documents + edge cases") {
+    // the r6 derivation the pair miners rely on: the signature computed
+    // from the stored DISTINCT shingle hashes must equal the signature
+    // computed from the text (min over occurrences == min over distinct
+    // values; h1/h2 derive from exactly the stored base hash)
     for ((n, k) <- Seq((3, 64), (3, 32), (5, 16))) {
       val cmp = docs.select(
         SketchFunctions.minhashSig(col("text"), n, k).as("sig_a"),
-        SketchFunctions.shingleHashes(col("text"), n).as("h_a"),
-        SketchFunctions.minhashSigShingles(col("text"), n, k).as("f"))
-      assert(cmp.where(col("sig_a") =!= col("f.sig") || col("h_a") =!= col("f.hashes"))
-        .count() == 0, s"n=$n k=$k")
+        SketchFunctions.minhashSigFromHashes(
+          SketchFunctions.shingleHashes(col("text"), n), k).as("sig_b"))
+      assert(cmp.where(col("sig_a") =!= col("sig_b")).count() == 0, s"n=$n k=$k")
     }
     import spark.implicits._
     val edge = Seq("", "word", "a  b", " lead", "trail ", "a b c d e", "ünïcode tökens")
       .toDF("text")
     edge.select(
         SketchFunctions.minhashSig(col("text"), 3, 16).as("sig_a"),
-        SketchFunctions.shingleHashes(col("text"), 3).as("h_a"),
-        SketchFunctions.minhashSigShingles(col("text"), 3, 16).as("f"))
+        SketchFunctions.minhashSigFromHashes(
+          SketchFunctions.shingleHashes(col("text"), 3), 16).as("sig_b"))
       .collect().foreach { r =>
-        assert(r.getSeq[Long](0) == r.getStruct(2).getSeq[Long](0), r)
-        assert(r.getSeq[Long](1) == r.getStruct(2).getSeq[Long](1), r)
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), r)
       }
   }
 
