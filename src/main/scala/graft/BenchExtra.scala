@@ -74,7 +74,14 @@ object BenchExtra {
       plansDir.foreach { d =>
         val dir = java.nio.file.Paths.get(d)
         java.nio.file.Files.createDirectories(dir)
-        val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+        // execute FIRST so the dump is the AQE-finalized plan
+        // (isFinalPlan=true: runtime join strategies, AQEShuffleRead),
+        // not the pre-runtime initial plan
+        val df = fn(spark, sfDir)
+        // run THIS QueryExecution (df.count() would plan a separate
+        // aggregate query and leave this one un-finalized)
+        df.queryExecution.toRdd.count()
+        val plan = df.queryExecution.explainString(FormattedMode)
         java.nio.file.Files.writeString(dir.resolve(s"$name$planSuffix.txt"), plan)
       }
       def once(): Double = {
